@@ -1,0 +1,429 @@
+"""Attention families (flax.linen), registered under the ATTENTIONS registry.
+
+Re-implements the reference attention zoo TPU-first:
+  - Efficient (linear) self/cross/mixed attention
+    (/root/reference/mogen/models/attentions/efficient_attention.py)
+  - Base (quadratic) self/cross/mixed attention (base_attention.py)
+  - STMA — MotionCraft's MC-Attn: MoE-projected static/dynamic body-graph +
+    global linear attention (st_attention.py:64-179)
+  - SAMI — FineMoGen's Taylor-template attention (fine_attention.py:62-202)
+
+All modules share the calling convention
+``__call__(x, xf=..., emb=..., src_mask=..., cond_type=..., motion_length=...,
+num_intervals=1, train=False)``; unused conditions are accepted and ignored so
+DecoderLayer can fan kwargs uniformly.  Auxiliary losses are exposed through
+flax's ``losses`` collection (``sow``), summed by the architecture.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.linear_attention import linear_attention_core
+from ..registry import ATTENTIONS
+from .blocks import StylizationBlock
+from .moe import MOE
+
+NEG_INF = -1000000.0
+
+
+def _text_cond_mask(cond_type, B):
+    """cond_type [B,1,1] ints; text active when cond_type % 10 > 0."""
+    return ((cond_type % 10) > 0).astype(jnp.float32).reshape(B, 1, 1)
+
+
+@ATTENTIONS.register_module()
+class EfficientSelfAttention(nn.Module):
+    latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x, src_mask=None, emb=None, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        H = self.num_heads
+        xn = nn.LayerNorm(name="norm")(x)
+        query = nn.Dense(D, name="query")(xn)
+        key = nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
+        query = jax.nn.softmax(query.reshape(B, T, H, -1), axis=-1)
+        key = jax.nn.softmax(key.reshape(B, T, H, -1), axis=1)
+        value = (nn.Dense(D, name="value")(xn) * src_mask).reshape(B, T, H, -1)
+        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        if self.time_embed_dim is None:
+            return x + y
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+@ATTENTIONS.register_module()
+class EfficientCrossAttention(nn.Module):
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, cond_type=None, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        N = xf.shape[1]
+        H = self.num_heads
+        xn = nn.LayerNorm(name="norm")(x)
+        tn = nn.LayerNorm(name="text_norm")(xf)
+        query = jax.nn.softmax(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
+        key = nn.Dense(D, name="key")(tn)
+        if cond_type is None:
+            key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+            value = nn.Dense(D, name="value")(tn).reshape(B, N, H, -1)
+        else:
+            tc = _text_cond_mask(cond_type, B)
+            key = jax.nn.softmax((key + (1 - tc) * NEG_INF).reshape(B, N, H, -1), axis=1)
+            value = nn.Dense(D, name="value")(tn * tc).reshape(B, N, H, -1)
+        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+@ATTENTIONS.register_module()
+class EfficientMixedAttention(nn.Module):
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 train: bool = False, **kwargs):
+        B, T, D = x.shape
+        N = xf.shape[1] + T
+        H = self.num_heads
+        xn = nn.LayerNorm(name="norm")(x)
+        tn = nn.LayerNorm(name="text_norm")(xf)
+        tc = _text_cond_mask(cond_type, B)
+        sm = src_mask.reshape(B, T, 1)
+        key = jnp.concatenate([
+            nn.Dense(D, name="key_text")(tn) + (1 - tc) * NEG_INF,
+            nn.Dense(D, name="key_motion")(xn) + (1 - sm) * NEG_INF,
+        ], axis=1)
+        query = jax.nn.softmax(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
+        key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+        key = nn.Dropout(self.dropout)(key, deterministic=not train)
+        value = jnp.concatenate([
+            nn.Dense(D, name="value_text")(tn) * tc,
+            nn.Dense(D, name="value_motion")(xn) * sm,
+        ], axis=1).reshape(B, N, H, -1)
+        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+@ATTENTIONS.register_module()
+class BaseSelfAttention(nn.Module):
+    latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, emb=None, src_mask=None, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        H = self.num_heads
+        xn = nn.LayerNorm(name="norm")(x)
+        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = nn.Dense(D, name="key")(xn).reshape(B, T, H, -1)
+        attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
+        attn = attn + (1 - src_mask.reshape(B, 1, T, 1)) * NEG_INF
+        attn = jax.nn.softmax(attn, axis=2)
+        value = (nn.Dense(D, name="value")(xn) * src_mask).reshape(B, T, H, -1)
+        y = jnp.einsum("bnmh,bmhl->bnhl", attn, value).reshape(B, T, D)
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+@ATTENTIONS.register_module()
+class BaseCrossAttention(nn.Module):
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 train: bool = False, **kwargs):
+        B, T, D = x.shape
+        N = xf.shape[1]
+        H = self.num_heads
+        xn = nn.LayerNorm(name="norm")(x)
+        tn = nn.LayerNorm(name="text_norm")(xf)
+        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = nn.Dense(D, name="key")(tn).reshape(B, N, H, -1)
+        attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
+        if cond_type is None:
+            tc = jnp.ones((B, 1, 1), jnp.float32)
+        else:
+            tc = _text_cond_mask(cond_type, B)
+        attn = attn + (1 - tc.reshape(B, 1, 1, 1)) * NEG_INF
+        attn = jax.nn.softmax(attn, axis=2)
+        value = (nn.Dense(D, name="value")(tn) * tc).reshape(B, N, H, -1)
+        y = jnp.einsum("bnmh,bmhl->bnhl", attn, value).reshape(B, T, D)
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+@ATTENTIONS.register_module()
+class BaseMixedAttention(nn.Module):
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 train: bool = False, **kwargs):
+        B, T, D = x.shape
+        Nt = xf.shape[1]
+        H = self.num_heads
+        xn = nn.LayerNorm(name="norm")(x)
+        tn = nn.LayerNorm(name="text_norm")(xf)
+        tc = _text_cond_mask(cond_type, B)
+        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = jnp.concatenate([
+            nn.Dense(D, name="key_text")(tn),
+            nn.Dense(D, name="key_motion")(xn),
+        ], axis=1).reshape(B, Nt + T, H, -1)
+        attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
+        mask = jnp.concatenate([
+            jnp.broadcast_to(tc.reshape(B, 1, 1, 1), (B, 1, Nt, 1)),
+            src_mask.reshape(B, 1, T, 1),
+        ], axis=2)
+        attn = jax.nn.softmax(attn + (1 - mask) * NEG_INF, axis=2)
+        value = jnp.concatenate([
+            nn.Dense(D, name="value_text")(tn) * tc,
+            nn.Dense(D, name="value_motion")(xn) * src_mask.reshape(B, T, 1),
+        ], axis=1).reshape(B, Nt + T, H, -1)
+        y = jnp.einsum("bnmh,bmhl->bnhl", attn, value).reshape(B, T, D)
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+def fold_patch_mask(src_mask: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Fold a frame mask [B, T*p, 1] into a patch mask [B, T, 1]: a patch is
+    valid only if all its frames are (st_attention.py:138-145)."""
+    B = src_mask.shape[0]
+    m = src_mask.reshape(B, -1)
+    m = m.reshape(B, m.shape[1] // patch_size, patch_size)
+    return m.min(axis=-1, keepdims=True)
+
+
+@ATTENTIONS.register_module()
+class STMA(nn.Module):
+    """MotionCraft MC-Attn (st_attention.py:64-179).
+
+    Per-head body-part features -> Tutel-style MoE projections of text (2L)
+    and motion (4L: body-value, key, value, query); static body graph =
+    learned softmax(H x H) mix of per-part values; dynamic graph = linear
+    self-attention across the H part tokens per frame; global linear
+    attention over the joint text+motion sequence.
+    """
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    num_text_heads: int
+    num_experts: int
+    topk: int
+    gate_type: str = "cosine_top"
+    gate_noise: float = 1.0
+    ffn_dim: int = 512
+    time_embed_dim: int = 2048
+    max_seq_len: int = 196
+    max_text_seq_len: int = 77
+    temporal_comb: bool = False
+    dropout: float = 0.0
+    static_body: bool = True
+    dynamic_body: bool = False
+    patch_size: int = 1
+    expert_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 motion_length=None, num_intervals=1, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        H, L = self.num_heads, self.latent_dim
+        N = xf.shape[1] + T
+
+        xh = x.reshape(B, T, H, L)
+        text_feat = xf.reshape(B, xf.shape[1], self.num_text_heads, -1)
+        text_feat, text_aux = MOE(self.num_experts, self.topk, self.text_latent_dim,
+                                  self.text_latent_dim * 4, 2 * L, self.num_text_heads,
+                                  self.max_text_seq_len, self.gate_type, self.gate_noise,
+                                  expert_axis=self.expert_axis, name="text_moe")(
+            nn.LayerNorm(name="text_norm")(text_feat), train=train)
+        motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 4 * L, H,
+                                      self.max_seq_len, self.gate_type, self.gate_noise,
+                                      expert_axis=self.expert_axis, name="motion_moe")(
+            nn.LayerNorm(name="norm")(xh), train=train)
+
+        body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
+        body_value = motion_feat[:, :, :, :L]
+        body_feat = body_value
+        if self.static_body:
+            body_feat = jnp.einsum("hl,bnld->bnhd", jax.nn.softmax(body_weight, axis=1), body_value)
+        body_feat = body_feat.reshape(B, T, D)
+        if self.dynamic_body:
+            # attention over the H part tokens within each frame
+            d_in = body_value.reshape(B * T, H, L)
+            d_mask = jnp.ones((B * T, H, 1), x.dtype)
+            d_body = EfficientSelfAttention(L, 8, self.dropout, time_embed_dim=None,
+                                            name="body_d_attn")(d_in, src_mask=d_mask,
+                                                                train=train)
+            body_feat = body_feat + d_body.reshape(B, T, D)
+
+        text_cond_type = ((cond_type % 10) > 0).astype(x.dtype)[..., None]  # [B,1,1,1]
+        if self.patch_size > 1:
+            src_mask = fold_patch_mask(src_mask, self.patch_size)
+        src_mask = src_mask.reshape(B, T, 1, 1)
+
+        key_text = text_feat[:, :, :, :L] + (1 - text_cond_type) * NEG_INF
+        if self.num_text_heads == 1:
+            key_text = jnp.broadcast_to(key_text, (B, key_text.shape[1], H, L))
+        key_motion = motion_feat[:, :, :, L:2 * L] + (1 - src_mask) * NEG_INF
+        key = jax.nn.softmax(jnp.concatenate([key_text, key_motion], axis=1), axis=1)
+
+        value_text = text_feat[:, :, :, L:] * text_cond_type
+        if self.num_text_heads == 1:
+            value_text = jnp.broadcast_to(value_text, (B, value_text.shape[1], H, L))
+        value_motion = motion_feat[:, :, :, 2 * L:3 * L] * src_mask
+        value = jnp.concatenate([value_text, value_motion], axis=1)
+
+        query = jax.nn.softmax(motion_feat[:, :, :, 3 * L:], axis=-1)
+        y_t = linear_attention_core(query, key, value).reshape(B, T, D)
+        y = xh.reshape(B, T, D) + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                                   name="proj_out")(body_feat + y_t, emb,
+                                                                    train=train)
+        if train:
+            self.sow("losses", "aux_loss", text_aux + motion_aux)
+        return y
+
+
+def _interval_ffn(name, latent_dim, ffn_dim, out_dim=None):
+    return nn.Sequential([nn.Dense(ffn_dim), nn.gelu, nn.Dense(out_dim or latent_dim)],
+                         name=name)
+
+
+@ATTENTIONS.register_module()
+class SAMI(nn.Module):
+    """FineMoGen attention (fine_attention.py:62-202): linear-attention
+    template + Gaussian time kernel + Taylor expansion (state/vel/acc/jerk)
+    with per-interval time offsets."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    num_text_heads: int
+    num_experts: int
+    topk: int
+    gate_type: str = "cosine_top"
+    gate_noise: float = 1.0
+    ffn_dim: int = 512
+    time_embed_dim: int = 2048
+    max_seq_len: int = 196
+    max_text_seq_len: int = 77
+    temporal_comb: bool = False
+    dropout: float = 0.0
+    expert_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 motion_length=None, num_intervals=1, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        H, L = self.num_heads, self.latent_dim
+        NI = num_intervals
+
+        xh = x.reshape(B, T, H, L)
+        text_feat = xf.reshape(B, xf.shape[1], self.num_text_heads, -1)
+        text_feat, text_aux = MOE(self.num_experts, self.topk, self.text_latent_dim,
+                                  self.text_latent_dim * 4, 2 * L, self.num_text_heads,
+                                  self.max_text_seq_len, self.gate_type, self.gate_noise,
+                                  expert_axis=self.expert_axis, name="text_moe")(
+            nn.LayerNorm(name="text_norm")(text_feat), train=train)
+        motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 3 * L, H,
+                                      self.max_seq_len, self.gate_type, self.gate_noise,
+                                      expert_axis=self.expert_axis, name="motion_moe")(
+            nn.LayerNorm(name="norm")(xh), train=train)
+
+        body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
+        body_feat = jnp.einsum("hl,bnld->bnhd", jax.nn.softmax(body_weight, axis=1),
+                               motion_feat[:, :, :, :L]).reshape(B, T, D)
+
+        text_cond_type = ((cond_type % 10) > 0).astype(x.dtype)[..., None]
+        src_mask4 = src_mask.reshape(B, T, 1, 1)
+
+        key_text = text_feat[:, :, :, :L] + (1 - text_cond_type) * NEG_INF
+        if self.num_text_heads == 1:
+            key_text = jnp.broadcast_to(key_text, (B, key_text.shape[1], H, L))
+        key_motion = motion_feat[:, :, :, L:2 * L] + (1 - src_mask4) * NEG_INF
+        key = jax.nn.softmax(jnp.concatenate([key_text, key_motion], axis=1), axis=1)
+
+        value_text = text_feat[:, :, :, L:] * text_cond_type
+        if self.num_text_heads == 1:
+            value_text = jnp.broadcast_to(value_text, (B, value_text.shape[1], H, L))
+        value_motion = motion_feat[:, :, :, 2 * L:] * src_mask4
+        value = jnp.concatenate([value_text, value_motion], axis=1)
+
+        # temporal template [B, H, L(d), L(l)]
+        template = jnp.einsum("bnhd,bnhl->bhdl", key, value)
+
+        sigma = self.param("sigma", lambda k: jnp.full((1,), 100.0))
+        t_sigma = self.param("t_sigma", lambda k: jnp.full((1,), 1.0))
+        template_t_feat = _interval_ffn("template_t", L, self.ffn_dim, 1)(template)  # [B,H,L,1]
+        template_t = jax.nn.sigmoid(template_t_feat / t_sigma)
+        template_t = template_t * motion_length.reshape(B, 1, 1, 1).astype(x.dtype) / self.max_seq_len
+
+        org_t = (jnp.arange(T, dtype=x.dtype) / self.max_seq_len)
+        # per-interval cumulative frame offsets (vectorized form of :153-158)
+        ml = motion_length.reshape(B // NI, NI).astype(x.dtype)
+        offsets = jnp.cumsum(ml, axis=1) - ml  # exclusive cumsum [B//NI, NI]
+        t = org_t[None, None, :] + offsets[:, :, None] / self.max_seq_len  # [B//NI, NI, T]
+        tt = template_t.reshape(B // NI, NI, H, L) + offsets[:, :, None, None] / self.max_seq_len
+        tt = jnp.transpose(tt, (0, 2, 1, 3))  # [B//NI, H, NI, L]
+        tt = jnp.broadcast_to(tt[:, None], (B // NI, NI, H, NI, L)).reshape(B, 1, H, NI * L)
+        time_delta = (t.reshape(B, T, 1, 1) - tt) * self.max_seq_len  # [B,T,H,NI*L]
+        time_coef = jax.nn.softmax(-(time_delta * time_delta) / sigma, axis=-1)
+
+        tmpl = template.reshape(B // NI, NI, H, L, L)
+        tmpl = jnp.transpose(tmpl, (0, 2, 1, 3, 4))  # [B//NI, H, NI, L, L]
+        tmpl = jnp.broadcast_to(tmpl[:, None], (B // NI, NI, H, NI, L, L)).reshape(B, H, NI * L, L)
+
+        ts_ = _interval_ffn("template_s", L, self.ffn_dim)(tmpl)
+        tv_ = _interval_ffn("template_v", L, self.ffn_dim)(tmpl)
+        ta_ = _interval_ffn("template_a", L, self.ffn_dim)(tmpl)
+        tj_ = _interval_ffn("template_j", L, self.ffn_dim)(tmpl)
+        tt1 = tt.reshape(B, H, NI * L, 1)
+        a0 = ts_ - tv_ * tt1 + ta_ * tt1 ** 2 - tj_ * tt1 ** 3
+        a1 = tv_ - 2 * ta_ * tt1 + 3 * tj_ * tt1 ** 2
+        a2 = ta_ - 3 * tj_ * tt1
+        a3 = tj_
+
+        mix = lambda templ: jnp.einsum("bnhd,bhdl->bnhl", time_coef, templ).reshape(B, T, D)
+        tb = t.reshape(B, T, 1)
+        y_t = mix(a0) + mix(a1) * tb + mix(a2) * tb ** 2 + mix(a3) * tb ** 3
+
+        y = xh.reshape(B, T, D) + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                                   name="proj_out")(body_feat + y_t, emb,
+                                                                    train=train)
+        if train:
+            self.sow("losses", "aux_loss", text_aux + motion_aux)
+            mu = template_t_feat.squeeze(-1).mean(axis=-1)
+            logvar = jnp.log(template_t_feat.squeeze(-1).std(axis=-1) + 1e-12)
+            kl = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar))
+            self.sow("losses", "kl_loss", kl)
+        return y

@@ -1,0 +1,191 @@
+"""Shared neural blocks (flax.linen).
+
+TPU-native re-implementations of the reference building blocks:
+  - StylizationBlock: AdaLN-style time conditioning, zero-init out
+    (/root/reference/mogen/models/utils/stylization_block.py:14-40)
+  - timestep_embedding (/root/reference/mogen/models/utils/position_encoding.py:42-60)
+  - FFN / SFFN (diffusion_transformer.py:15-28, stmogen.py:581-607) — SFFN's
+    per-head ModuleList python loop becomes one batched einsum over a
+    [heads, d, ffn] weight so the MXU sees a single large contraction.
+  - PatchEmbed1D / WavEncoder (blocks.py:53-114)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+zeros_init = nn.initializers.zeros
+normal_init = nn.initializers.normal(stddev=1.0)
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding; cos first then sin, as the reference."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps[:, None].astype(jnp.float32) * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class ZeroDense(nn.Module):
+    """Dense with zero-initialised kernel and bias (zero_module semantics)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, kernel_init=zeros_init, bias_init=zeros_init,
+                        name="linear")(x)
+
+
+class StylizationBlock(nn.Module):
+    """AdaLN conditioning: time-emb -> (scale, shift); zero-init output proj."""
+
+    latent_dim: int
+    time_embed_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, h, emb, train: bool = False):
+        # emb: [B, time_embed_dim] -> [B, 1, 2*latent]
+        emb_out = nn.Dense(2 * self.latent_dim, name="emb_layers")(nn.silu(emb))[:, None, :]
+        scale, shift = jnp.split(emb_out, 2, axis=-1)
+        h = nn.LayerNorm(name="norm")(h) * (1 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=not train)
+        h = ZeroDense(self.latent_dim, name="out_layers")(h)
+        return h
+
+
+class FFN(nn.Module):
+    """Two-layer GELU FFN with zero-init second linear + stylized residual."""
+
+    latent_dim: int
+    ffn_dim: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, emb, train: bool = False, **kwargs):
+        y = nn.Dense(self.ffn_dim, name="linear1")(x)
+        y = nn.Dropout(self.dropout)(nn.gelu(y, approximate=False), deterministic=not train)
+        y = ZeroDense(self.latent_dim, name="linear2")(y)
+        y = x + StylizationBlock(self.latent_dim, self.time_embed_dim, self.dropout,
+                                 name="proj_out")(y, emb, train=train)
+        return y
+
+
+class SFFN(nn.Module):
+    """Per-body-part (per-head) FFN over the concatenated head layout.
+
+    The reference loops a ModuleList of per-head Linears (stmogen.py:596-607);
+    here both layers are single einsums over a stacked [H, d, f] weight, which
+    maps to one MXU matmul instead of H small ones.
+    """
+
+    latent_dim: int  # per-head dim
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, emb, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        H, d, f = self.num_heads, self.latent_dim, self.ffn_dim
+        xh = x.reshape(B, T, H, d)
+        w1 = self.param("w1", nn.initializers.lecun_normal(), (H, d, f))
+        b1 = self.param("b1", zeros_init, (H, f))
+        w2 = self.param("w2", nn.initializers.lecun_normal(), (H, f, d))
+        b2 = self.param("b2", zeros_init, (H, d))
+        y = jnp.einsum("bthd,hdf->bthf", xh, w1) + b1
+        y = nn.Dropout(self.dropout)(nn.gelu(y, approximate=False), deterministic=not train)
+        y = jnp.einsum("bthf,hfd->bthd", y, w2) + b2
+        y = y.reshape(B, T, D)
+        y = x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                 name="proj_out")(y, emb, train=train)
+        return y
+
+
+class PatchEmbed1D(nn.Module):
+    """Temporal patchify: Conv1d(kernel=stride=patch) over [B, T, C]."""
+
+    patch_size: int
+    embed_dim: int
+    use_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        T = x.shape[1]
+        pad = (-T) % self.patch_size
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x = nn.Conv(self.embed_dim, kernel_size=(self.patch_size,),
+                    strides=(self.patch_size,), padding="VALID", name="proj")(x)
+        if self.use_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        return x
+
+
+def unpatchify(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, N_t, T_p*C] -> [B, N_t*T_p, C] (stmogen.py:120-139)."""
+    B, Nt, DC = x.shape
+    return x.reshape(B, Nt * patch_size, DC // patch_size)
+
+
+class ConvBasicBlock1D(nn.Module):
+    """Residual conv block used by WavEncoder (reference blocks.py:11-51)."""
+
+    planes: int
+    ker_size: int = 15
+    stride: int = 1
+    pad: int = 0
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [B, L, C]
+        shortcut = x
+        y = nn.Conv(self.planes, kernel_size=(self.ker_size,), strides=(self.stride,),
+                    padding=[(self.pad, self.pad)], name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        y = nn.Conv(self.planes, kernel_size=(self.ker_size,), strides=(1,),
+                    padding=[(self.ker_size // 2, self.ker_size // 2)], name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        if self.downsample:
+            shortcut = nn.Conv(self.planes, kernel_size=(self.ker_size,),
+                               strides=(self.stride,), padding=[(self.pad, self.pad)],
+                               name="down_conv")(shortcut)
+            shortcut = nn.BatchNorm(use_running_average=not train, name="down_bn")(shortcut)
+        y = y + shortcut
+        return nn.leaky_relu(y, negative_slope=0.01)
+
+
+class WavEncoder(nn.Module):
+    """Raw-audio conv encoder: 16 kHz samples -> ~30 fps features
+    (reference blocks.py:53-71; stride chain 5*6*6*3=540 ≈ 16000/30)."""
+
+    out_dim: int
+    audio_in: int = 1
+
+    @nn.compact
+    def __call__(self, wav, train: bool = False):
+        # wav: [B, L] or [B, L, C]
+        if wav.ndim == 2:
+            wav = wav[:, :, None]
+        d = self.out_dim
+        x = ConvBasicBlock1D(d // 4, 15, 5, pad=1600, downsample=True, name="block0")(wav, train)
+        x = ConvBasicBlock1D(d // 4, 15, 6, pad=0, downsample=True, name="block1")(x, train)
+        x = ConvBasicBlock1D(d // 4, 15, 1, pad=7, name="block2")(x, train)
+        x = ConvBasicBlock1D(d // 2, 15, 6, pad=0, downsample=True, name="block3")(x, train)
+        x = ConvBasicBlock1D(d // 2, 15, 1, pad=7, name="block4")(x, train)
+        x = ConvBasicBlock1D(d, 15, 3, pad=0, downsample=True, name="block5")(x, train)
+        return x

@@ -1,0 +1,216 @@
+"""Tests for shared blocks, MoE, and attention families."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax.core import unfreeze
+
+from motioncraft_tpu.models.attentions import (STMA, SAMI, BaseCrossAttention,
+                                               BaseMixedAttention, BaseSelfAttention,
+                                               EfficientCrossAttention,
+                                               EfficientMixedAttention,
+                                               EfficientSelfAttention, fold_patch_mask)
+from motioncraft_tpu.models.blocks import (FFN, SFFN, PatchEmbed1D, StylizationBlock,
+                                           WavEncoder, timestep_embedding, unpatchify)
+from motioncraft_tpu.models.moe import MOE, MoELayer
+
+
+class TestBlocks:
+    def test_timestep_embedding_golden(self):
+        t = jnp.array([0.0, 17.0, 999.0])
+        dim = 8
+        got = np.asarray(timestep_embedding(t, dim))
+        half = dim // 2
+        freqs = np.exp(-math.log(10000.0) * np.arange(half) / half)
+        args = np.asarray(t)[:, None] * freqs[None]
+        want = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5)
+
+    def test_stylization_block_zero_at_init(self, rng):
+        m = StylizationBlock(latent_dim=16, time_embed_dim=32)
+        h = jnp.asarray(rng.randn(2, 5, 16), jnp.float32)
+        emb = jnp.asarray(rng.randn(2, 32), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), h, emb)
+        out = m.apply(params, h, emb)
+        np.testing.assert_allclose(np.asarray(out), 0.0)
+
+    def test_ffn_identity_at_init(self, rng):
+        m = FFN(latent_dim=16, ffn_dim=32, time_embed_dim=8)
+        x = jnp.asarray(rng.randn(2, 5, 16), jnp.float32)
+        emb = jnp.asarray(rng.randn(2, 8), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x, emb)
+        np.testing.assert_allclose(np.asarray(m.apply(params, x, emb)), np.asarray(x))
+
+    def test_sffn_residual_and_shape(self, rng):
+        m = SFFN(latent_dim=8, ffn_dim=16, num_heads=3, time_embed_dim=8)
+        x = jnp.asarray(rng.randn(2, 5, 24), jnp.float32)
+        emb = jnp.asarray(rng.randn(2, 8), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x, emb)
+        out = m.apply(params, x, emb)
+        assert out.shape == x.shape
+        # stylization out proj is zero-init -> identity at init
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+    def test_patch_embed_roundtrip_shapes(self, rng):
+        m = PatchEmbed1D(patch_size=4, embed_dim=16)
+        x = jnp.asarray(rng.randn(2, 20, 6), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(params, x)
+        assert out.shape == (2, 5, 16)
+        # non-divisible length pads up
+        out2 = m.apply(params, x[:, :18])
+        assert out2.shape == (2, 5, 16)
+        y = unpatchify(jnp.asarray(rng.randn(2, 5, 12), jnp.float32), 4)
+        assert y.shape == (2, 20, 3)
+
+    def test_wav_encoder_downsamples_to_30fps(self, rng):
+        m = WavEncoder(out_dim=32)
+        # 1 second of 16 kHz audio -> ~30 frames
+        wav = jnp.asarray(rng.randn(1, 16000), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), wav)
+        out = m.apply(params, wav)
+        assert out.ndim == 3 and out.shape[-1] == 32
+        assert 25 <= out.shape[1] <= 40, out.shape
+
+
+class TestMoE:
+    def test_moe_layer_shapes_and_capacity(self, rng):
+        m = MoELayer(num_experts=4, topk=2, model_dim=8, hidden_dim=16, gate_noise=0.0)
+        x = jnp.asarray(rng.randn(32, 8), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y, aux = m.apply(params, x)
+        assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+        assert np.isfinite(float(aux))
+
+    def test_moe_train_with_noise_needs_rng(self, rng):
+        m = MoELayer(num_experts=4, topk=2, model_dim=8, hidden_dim=16, gate_noise=1.0)
+        x = jnp.asarray(rng.randn(16, 8), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y, aux = m.apply(params, x, train=True, rngs={"gate_noise": jax.random.PRNGKey(1)},
+                         mutable=["losses"])[0] if False else m.apply(
+            params, x, train=True, rngs={"gate_noise": jax.random.PRNGKey(1)})
+        assert y.shape == x.shape
+
+    def test_moe_capacity_drops_tokens(self, rng):
+        """Force all tokens to one expert: most must be dropped (output ~0)."""
+        m = MoELayer(num_experts=4, topk=1, model_dim=8, hidden_dim=16,
+                     gate_type="top", gate_noise=0.0, capacity_factor=0.5)
+        x = jnp.asarray(np.ones((32, 8)), jnp.float32)  # identical tokens
+        params = m.init(jax.random.PRNGKey(0), x)
+        y, _ = m.apply(params, x)
+        # capacity = 1*int(0.5*8)=4 -> 28 of 32 tokens get zero output
+        zero_rows = np.sum(np.abs(np.asarray(y)).sum(-1) < 1e-9)
+        assert zero_rows == 28, zero_rows
+
+    def test_moe_wrapper_projects(self, rng):
+        m = MOE(num_experts=4, topk=2, input_dim=8, ffn_dim=16, output_dim=24,
+                num_heads=3, max_seq_len=10, gate_noise=0.0)
+        x = jnp.asarray(rng.randn(2, 7, 3, 8), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y, aux = m.apply(params, x)
+        assert y.shape == (2, 7, 3, 24)
+
+
+def _mk_mask(B, T, valid):
+    m = np.zeros((B, T, 1), np.float32)
+    m[:, :valid] = 1
+    return jnp.asarray(m)
+
+
+class TestAttention:
+    def test_efficient_self_mask_invariance(self, rng):
+        """Masked-out frames must not change valid-frame outputs."""
+        m = EfficientSelfAttention(latent_dim=16, num_heads=4, time_embed_dim=8)
+        x = np.asarray(rng.randn(1, 10, 16), np.float32)
+        emb = jnp.asarray(rng.randn(1, 8), jnp.float32)
+        mask = _mk_mask(1, 10, 6)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x), src_mask=mask, emb=emb)
+        out1 = m.apply(params, jnp.asarray(x), src_mask=mask, emb=emb)
+        x2 = x.copy()
+        x2[:, 6:] = 123.0  # garbage in masked region
+        out2 = m.apply(params, jnp.asarray(x2), src_mask=mask, emb=emb)
+        np.testing.assert_allclose(np.asarray(out1)[:, :6], np.asarray(out2)[:, :6],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_efficient_cross_cond_dropout_zeroes_text(self, rng):
+        m = EfficientCrossAttention(latent_dim=16, text_latent_dim=12, num_heads=4,
+                                    time_embed_dim=8)
+        x = jnp.asarray(rng.randn(2, 10, 16), jnp.float32)
+        xf = jnp.asarray(rng.randn(2, 7, 12), jnp.float32)
+        emb = jnp.asarray(rng.randn(2, 8), jnp.float32)
+        cond = jnp.zeros((2, 1, 1))  # cond_type % 10 == 0 -> text off
+        params = m.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, cond_type=cond)
+        out_off = m.apply(params, x, xf=xf, emb=emb, cond_type=cond)
+        out_off2 = m.apply(params, x, xf=xf * 100, emb=emb, cond_type=cond)
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_off2), rtol=1e-4,
+                                   atol=1e-5)
+
+    def test_base_self_is_softmax_attention(self, rng):
+        m = BaseSelfAttention(latent_dim=8, num_heads=2, time_embed_dim=8)
+        x = jnp.asarray(rng.randn(1, 5, 8), jnp.float32)
+        emb = jnp.asarray(rng.randn(1, 8), jnp.float32)
+        mask = _mk_mask(1, 5, 5)
+        params = m.init(jax.random.PRNGKey(0), x, emb=emb, src_mask=mask)
+        out = m.apply(params, x, emb=emb, src_mask=mask)
+        assert out.shape == x.shape
+
+    def test_base_mixed_and_cross_shapes(self, rng):
+        for cls in (BaseMixedAttention, BaseCrossAttention, EfficientMixedAttention):
+            m = cls(latent_dim=8, text_latent_dim=12, num_heads=2, time_embed_dim=8)
+            x = jnp.asarray(rng.randn(2, 5, 8), jnp.float32)
+            xf = jnp.asarray(rng.randn(2, 3, 12), jnp.float32)
+            emb = jnp.asarray(rng.randn(2, 8), jnp.float32)
+            mask = _mk_mask(2, 5, 4)
+            cond = jnp.ones((2, 1, 1))
+            params = m.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, src_mask=mask,
+                            cond_type=cond)
+            out = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond)
+            assert out.shape == x.shape
+
+    def test_fold_patch_mask(self):
+        m = jnp.asarray(np.array([1, 1, 1, 1, 1, 1, 1, 0]).reshape(1, 8, 1), jnp.float32)
+        folded = fold_patch_mask(m, 4)
+        np.testing.assert_array_equal(np.asarray(folded).squeeze(), [1, 0])
+
+    def test_stma_forward_and_aux(self, rng):
+        m = STMA(latent_dim=8, text_latent_dim=12, num_heads=3, num_text_heads=1,
+                 num_experts=4, topk=2, gate_noise=0.0, ffn_dim=16, time_embed_dim=8,
+                 max_seq_len=16, max_text_seq_len=7, temporal_comb=False,
+                 dynamic_body=True)
+        B, T, D = 2, 10, 24
+        x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+        xf = jnp.asarray(rng.randn(B, 7, 12), jnp.float32)
+        emb = jnp.asarray(rng.randn(B, 8), jnp.float32)
+        mask = _mk_mask(B, T, 8)
+        cond = jnp.ones((B, 1, 1))
+        ml = jnp.full((B, 1), 8)
+        params = m.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, src_mask=mask,
+                        cond_type=cond, motion_length=ml)
+        out = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
+                      motion_length=ml)
+        assert out.shape == (B, T, D)
+        # train mode sows aux loss
+        out, state = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
+                             motion_length=ml, train=True, mutable=["losses"])
+        assert "aux_loss" in state["losses"]
+
+    def test_sami_forward_intervals(self, rng):
+        m = SAMI(latent_dim=8, text_latent_dim=12, num_heads=3, num_text_heads=1,
+                 num_experts=4, topk=2, gate_noise=0.0, ffn_dim=16, time_embed_dim=8,
+                 max_seq_len=16, max_text_seq_len=7, temporal_comb=False)
+        B, T, D = 4, 10, 24
+        x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+        xf = jnp.asarray(rng.randn(B, 7, 12), jnp.float32)
+        emb = jnp.asarray(rng.randn(B, 8), jnp.float32)
+        mask = _mk_mask(B, T, 10)
+        cond = jnp.ones((B, 1, 1))
+        ml = jnp.full((B, 1), 10)
+        params = m.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, src_mask=mask,
+                        cond_type=cond, motion_length=ml)
+        for ni in (1, 2):
+            out = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
+                          motion_length=ml, num_intervals=ni)
+            assert out.shape == (B, T, D) and np.isfinite(np.asarray(out)).all()
