@@ -1,0 +1,268 @@
+"""MotionDiffusion — couples a denoiser with train/test diffusions.
+
+TPU-native redesign of
+/root/reference/mogen/models/architectures/diffusion_architecture.py:57-204 and
+base_architecture.py: the architecture is a thin host-side orchestrator whose
+``loss`` and ``sample`` methods are pure jittable functions over (variables,
+batch, rng).  Text encoding runs once per batch outside the sampling scan; the
+scanned CFG-doubled denoiser step is the model's ``mode='test'`` path.  The
+reference's ``dist.all_reduce`` of log vars becomes a no-op on a single
+controller — under pjit the loss is already globally averaged by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion import (build_diffusion, create_named_schedule_sampler,
+                         ddim_sample_loop, p_sample_loop, training_losses)
+from ..diffusion.sampling import Outpainting, RepaintConfig
+from ..registry import ARCHITECTURES, build_loss, build_submodule
+from .body_layout import SMPLX_FACE_DIMS, SMPLX_HAND_DIMS
+from .tokenizer import tokenize
+
+
+def _collect_loss_leaves(tree, key_name: str):
+    """Sum every leaf under any dict key == key_name in a nested state tree."""
+    total = 0.0
+    found = False
+
+    def walk(node):
+        nonlocal total, found
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == key_name:
+                    leaves = v if isinstance(v, (tuple, list)) else (v,)
+                    for leaf in jax.tree_util.tree_leaves(leaves):
+                        total = total + leaf
+                        found = True
+                else:
+                    walk(v)
+
+    walk(tree)
+    return total if found else None
+
+
+@ARCHITECTURES.register_module()
+class MotionDiffusion:
+    """Orchestrates training losses and inference sampling."""
+
+    def __init__(self,
+                 model: Optional[dict] = None,
+                 loss_recon: Optional[dict] = None,
+                 loss_reduction: str = "frame",
+                 diffusion_train: Optional[dict] = None,
+                 diffusion_test: Optional[dict] = None,
+                 sampler_type: str = "uniform",
+                 init_cfg: Optional[dict] = None,
+                 inference_type: str = "ddpm",
+                 opt: Optional[Any] = None,
+                 hand_loss_factor: float = 1.0,
+                 face_no_loss: bool = False,
+                 hand_no_loss: bool = False,
+                 repaint: Optional[dict] = None,
+                 **kwargs):
+        self.inference_type = inference_type
+        self.loss_reduction = loss_reduction
+        self.hand_loss_factor = hand_loss_factor
+        self.face_no_loss = face_no_loss
+        self.hand_no_loss = hand_no_loss
+        self.model_cfg = model
+        self.model = build_submodule(model) if inference_type != "gt" else None
+        self.loss_recon = build_loss(loss_recon) if loss_recon else None
+        self.diffusion_train = build_diffusion(diffusion_train) if diffusion_train else None
+        self.diffusion_test = build_diffusion(diffusion_test) if diffusion_test else None
+        if self.diffusion_train is not None:
+            self.sampler = create_named_schedule_sampler(
+                sampler_type, self.diffusion_train.num_timesteps)
+        self.repaint_cfg = RepaintConfig(**repaint) if isinstance(repaint, dict) else repaint
+        self._post = self._load_post_process(model)
+
+    # ------------------------------------------------------------------ setup
+    def _load_post_process(self, model_cfg):
+        cfg = (model_cfg or {}).get("post_process_cfg")
+        if cfg and cfg.get("unnormalized_infer", False):
+            mean = np.load(cfg["mean_path"]).astype(np.float32)
+            std = np.load(cfg["std_path"]).astype(np.float32)
+            return jnp.asarray(mean), jnp.asarray(std)
+        return None
+
+    def init(self, rng: jax.Array, example_batch: Dict[str, Any]):
+        """Initialise model variables from an example batch."""
+        motion = example_batch["motion"]
+        B, T = motion.shape[:2]
+        text_ids = example_batch.get("text_ids")
+        if text_ids is None:
+            text_ids = jnp.asarray(tokenize(example_batch.get("text", [""] * B)))
+        t = jnp.zeros((B,), jnp.int32)
+        variables = self.model.init(
+            {"params": rng}, motion, t,
+            motion_mask=example_batch["motion_mask"],
+            motion_length=example_batch["motion_length"],
+            text_ids=text_ids, method="init_all")
+        return variables
+
+    # ------------------------------------------------------------------ train
+    def loss(self, variables, batch: Dict[str, Any], rng: jax.Array,
+             num_intervals: int = 1) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Pure training-loss function (jit/pjit-able).
+
+        Mirrors diffusion_architecture.py:106-162: timestep sampling, masked
+        recon loss with face/hand masking and hand factor, MoE aux + template
+        KL from the model's sown losses.
+        """
+        motion = batch["motion"].astype(jnp.float32)
+        motion_mask = batch["motion_mask"].astype(jnp.float32)
+        motion_length = batch["motion_length"]
+        B = motion.shape[0]
+        r_t, r_noise, r_cond, r_gate, r_drop = jax.random.split(rng, 5)
+
+        t, _ = self.sampler.sample(r_t, B)
+        noise = jax.random.normal(r_noise, motion.shape, motion.dtype)
+        # 90% text / 10% unconditional dropout (stmogen.py:712)
+        cond_type = jax.random.randint(r_cond, (B, 1, 1), 0, 100)
+
+        state = {}
+
+        def model_fn(x_t, t_model):
+            nonlocal state
+            xf_out = self.model.apply(variables, batch["text_ids"],
+                                      method="encode_text", train=True,
+                                      rngs={"dropout": r_drop})
+            out, st = self.model.apply(
+                variables, x_t, t_model,
+                motion_mask=motion_mask, motion_length=motion_length,
+                xf_out=xf_out, num_intervals=num_intervals, cond_type=cond_type,
+                mode="train", train=True,
+                rngs={"gate_noise": r_gate, "dropout": r_drop},
+                mutable=["losses"])
+            state = st
+            return out
+
+        out = training_losses(self.diffusion_train, model_fn, motion, t, noise)
+        pred, target = out["pred"], out["target"]
+
+        if self.face_no_loss and pred.shape[-1] == 322:
+            m = jnp.ones_like(pred).at[:, :, SMPLX_FACE_DIMS[0]:SMPLX_FACE_DIMS[1]].set(0)
+            pred, target = pred * m, target * m
+        if self.hand_no_loss and pred.shape[-1] == 322:
+            m = jnp.ones_like(pred).at[:, :, SMPLX_HAND_DIMS[0]:SMPLX_HAND_DIMS[1]].set(0)
+            pred, target = pred * m, target * m
+
+        recon = self.loss_recon(pred, target, reduction_override="none")
+        if self.hand_loss_factor > 1.0 and pred.shape[-1] == 322:
+            scale = jnp.ones_like(recon).at[:, :, SMPLX_HAND_DIMS[0]:SMPLX_HAND_DIMS[1]].set(
+                self.hand_loss_factor)
+            recon = recon * scale
+
+        recon = recon.mean(axis=-1) * motion_mask
+        recon_batch = recon.sum(axis=1) / jnp.maximum(motion_mask.sum(axis=1), 1e-8)
+        recon_frame = recon.sum() / jnp.maximum(motion_mask.sum(), 1e-8)
+        recon_loss = recon_frame if self.loss_reduction == "frame" else recon_batch.mean()
+
+        log_vars = {"recon_loss": recon_loss}
+        losses_state = state.get("losses", {})
+        weights = (self.model.aux_loss_weights()
+                   if hasattr(self.model, "aux_loss_weights") else {})
+        aux = _collect_loss_leaves(dict(losses_state), "aux_loss")
+        if aux is not None:
+            log_vars["moe_route_loss"] = aux * weights.get("moe_route_loss", 1.0)
+        kl = _collect_loss_leaves(dict(losses_state), "kl_loss")
+        if kl is not None:
+            log_vars["template_kl_loss"] = kl * weights.get("template_kl_loss", 1.0)
+
+        total = sum(v for k, v in log_vars.items() if "loss" in k)
+        log_vars["loss"] = total
+        return total, {**log_vars, "t_mean": t.astype(jnp.float32).mean(),
+                       "recon_loss_batch": recon_batch, "timesteps": t}
+
+    # ---------------------------------------------------------------- sample
+    def encode_text(self, variables, text_ids, clip_feat=None):
+        return self.model.apply(variables, text_ids, clip_feat=clip_feat,
+                                method="encode_text")
+
+    def sample(self, variables, batch: Dict[str, Any], rng: jax.Array,
+               num_intervals: int = 1,
+               outpainting: Optional[Outpainting] = None,
+               pre_seq: Optional[jnp.ndarray] = None,
+               inference_type: Optional[str] = None,
+               extra_model_kwargs: Optional[dict] = None):
+        """Pure sampling function: noise -> motion (diffusion_architecture.py:163-204)."""
+        motion = batch["motion"].astype(jnp.float32)
+        B, T, D = motion.shape
+        inference_type = inference_type or self.inference_type
+        if inference_type == "gt":
+            return motion
+
+        motion_mask = batch["motion_mask"].astype(jnp.float32)
+        motion_length = batch["motion_length"]
+        xf_out = batch.get("xf_out")
+        if xf_out is None:
+            xf_out = self.encode_text(variables, batch["text_ids"],
+                                      batch.get("clip_feat"))
+
+        extra = extra_model_kwargs or {}
+
+        def model_fn(x, t_model):
+            return self.model.apply(
+                variables, x, t_model, motion_mask=motion_mask,
+                motion_length=motion_length, xf_out=xf_out,
+                num_intervals=num_intervals, mode="test", **extra)
+
+        r_noise, r_loop = jax.random.split(rng)
+        noise = jax.random.normal(r_noise, (B, T, D), jnp.float32)
+
+        if inference_type == "ddpm":
+            output = p_sample_loop(self.diffusion_test, model_fn, noise, r_loop,
+                                   clip_denoised=False, pre_seq=pre_seq)
+            result = None
+        elif inference_type == "ddim":
+            result = ddim_sample_loop(self.diffusion_test, model_fn, noise, r_loop,
+                                      eta=0.0, clip_denoised=False, pre_seq=pre_seq,
+                                      outpainting=outpainting, repaint=self.repaint_cfg)
+            output = result.sample
+        else:
+            raise NotImplementedError(inference_type)
+
+        output = self.post_process(output)
+        if result is not None and result.noisy_tail is not None:
+            return output, result.noisy_tail
+        return output
+
+    def post_process(self, motion):
+        """De-normalize when the model config asks for unnormalized inference."""
+        if self._post is not None:
+            mean, std = self._post
+            motion = motion * std + mean
+        return motion
+
+    # ------------------------------------------------------------------ util
+    @staticmethod
+    def split_results(results: Dict[str, Any]):
+        """Batched device results -> list of per-sample host dicts
+        (base_architecture.py:112-140)."""
+        B = results["motion"].shape[0]
+        to_host = lambda x: np.asarray(jax.device_get(x))
+        out = []
+        for i in range(B):
+            item = {
+                "motion": to_host(results["motion"][i]),
+                "pred_motion": to_host(results["pred_motion"][i]),
+                "motion_length": to_host(results["motion_length"][i]),
+                "motion_mask": to_host(results["motion_mask"][i]),
+            }
+            item["pred_motion_length"] = to_host(
+                results.get("pred_motion_length", results["motion_length"])[i])
+            item["pred_motion_mask"] = to_host(
+                results.get("pred_motion_mask", results["motion_mask"])[i])
+            metas = results.get("motion_metas")
+            if metas is not None:
+                for key in ("text", "token"):
+                    if key in metas[i]:
+                        item[key] = metas[i][key]
+            out.append(item)
+        return out

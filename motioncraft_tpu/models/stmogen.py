@@ -1,0 +1,266 @@
+"""STMoGenTransformer — MotionCraft's flagship DiT-style denoiser, TPU-native.
+
+Re-designs /root/reference/mogen/models/transformers/stmogen.py:626-761:
+  - PoseEncoder/PoseDecoder body-part projections use static gather tables and
+    a single inverse-permutation take for the scatter (no in-place writes).
+  - The decoder stack is DecoderLayer(STMA + SFFN).
+  - Classifier-free guidance at test time is the reference's 2x-batch scheme
+    with the timestep-dependent scale w = (1-(1000-t)/1000)*scale + 1
+    (stmogen.py:655-659), fully traced so the whole CFG step lives inside the
+    sampling scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..registry import ATTENTIONS, SUBMODULES
+from . import body_layout
+from .blocks import SFFN, PatchEmbed1D, timestep_embedding, unpatchify, zeros_init
+from .text_encoder import TextEncoder
+
+
+def _maybe_zero(zero: bool):
+    return dict(kernel_init=zeros_init, bias_init=zeros_init) if zero else {}
+
+
+class PoseEncoder(nn.Module):
+    """Per-body-part linear (or temporal-patch) embedding + whole-body embed
+    (reference stmogen.py:141-378)."""
+
+    dataset_name: str = "human_ml3d"
+    latent_dim: int = 64
+    input_dim: int = 263
+    patch_size: int = 1
+    joints: bool = False
+    body_graph: bool = False
+    gnn_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, motion, train: bool = False):
+        feats = []
+        if self.joints:
+            slices = body_layout.joint_slices(self.dataset_name)
+            body = body_layout.joints_body_slice(self.dataset_name)
+            for i, sl in enumerate(slices):
+                feats.append(nn.Dense(self.latent_dim, name=f"joint_{i}")(
+                    jnp.take(motion, jnp.asarray(sl), axis=-1)))
+            feats.append(nn.Dense(self.latent_dim, name="body_embed")(
+                jnp.take(motion, jnp.asarray(body), axis=-1)))
+            parts_num = len(slices) + 1
+        else:
+            parts = body_layout.part_slices(self.dataset_name)
+            body = body_layout.body_slice(self.dataset_name)
+            assert len(set(body)) == self.input_dim
+            for name, sl in parts.items():
+                x_part = jnp.take(motion, jnp.asarray(sl), axis=-1)
+                if self.patch_size > 1:
+                    feats.append(PatchEmbed1D(self.patch_size, self.latent_dim,
+                                              name=f"{name}_embed")(x_part))
+                else:
+                    feats.append(nn.Dense(self.latent_dim, name=f"{name}_embed")(x_part))
+            x_body = jnp.take(motion, jnp.asarray(body), axis=-1)
+            if self.patch_size > 1:
+                feats.append(PatchEmbed1D(self.patch_size, self.latent_dim,
+                                          name="body_embed")(x_body))
+            else:
+                feats.append(nn.Dense(self.latent_dim, name="body_embed")(x_body))
+            parts_num = len(parts) + 1
+        feat = jnp.concatenate(feats, axis=-1)
+        if self.body_graph:
+            from .gnns import STGCN
+            B, T, D = feat.shape
+            feat = STGCN(**(self.gnn_cfg or {}), name="gnn")(
+                feat.reshape(B, T, parts_num, self.latent_dim), train=train).reshape(B, T, D)
+        return feat
+
+
+class PoseDecoder(nn.Module):
+    """Per-part linear heads scattered back through an inverse permutation,
+    averaged with the whole-body head (reference stmogen.py:381-578)."""
+
+    dataset_name: str = "human_ml3d"
+    latent_dim: int = 64
+    output_dim: int = 263
+    patch_size: int = 1
+    joints: bool = False
+    zero_init: bool = True  # reference wraps the decoder in zero_module()
+
+    @nn.compact
+    def __call__(self, motion):
+        B, T = motion.shape[:2]
+        D = self.latent_dim
+        zero = _maybe_zero(self.zero_init)
+        if self.joints:
+            slices = body_layout.joint_slices(self.dataset_name)
+            flat = sum(slices, [])
+        else:
+            parts = body_layout.part_slices(self.dataset_name)
+            slices = list(parts.values())
+            flat = sum(slices, [])
+        inv = jnp.asarray(body_layout.inverse_permutation(flat, self.output_dim))
+
+        part_outs = []
+        for i, sl in enumerate(slices):
+            name = (f"joint_{i}" if self.joints
+                    else f"{list(body_layout.part_slices(self.dataset_name))[i]}_out")
+            h = motion[:, :, i * D:(i + 1) * D]
+            y = nn.Dense(self.patch_size * len(sl), name=name, **zero)(h)
+            part_outs.append(unpatchify(y, self.patch_size))
+        scattered = jnp.take(jnp.concatenate(part_outs, axis=-1), inv, axis=-1)
+
+        body = nn.Dense(self.patch_size * self.output_dim, name="body_out", **zero)(
+            motion[:, :, len(slices) * D:])
+        body = unpatchify(body, self.patch_size)
+        return (scattered + body) / 2.0
+
+
+class STMoGenDecoderLayer(nn.Module):
+    """ca_block (STMA) + SFFN (reference stmogen.py:610-623)."""
+
+    ca_block_cfg: Optional[dict] = None
+    ffn_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x, **kwargs):
+        if self.ca_block_cfg is not None:
+            x = ATTENTIONS.build(self.ca_block_cfg, name="ca_block")(x, **kwargs)
+        if self.ffn_cfg is not None:
+            cfg = dict(self.ffn_cfg)
+            x = SFFN(latent_dim=cfg.pop("latent_dim"), ffn_dim=cfg.pop("ffn_dim"),
+                     num_heads=cfg.pop("num_heads"),
+                     dropout=cfg.pop("dropout", 0.0),
+                     time_embed_dim=cfg.pop("time_embed_dim", 2048),
+                     name="ffn")(x, kwargs["emb"], train=kwargs.get("train", False))
+        return x
+
+
+@SUBMODULES.register_module()
+class STMoGenTransformer(nn.Module):
+    input_feats: int
+    max_seq_len: int = 196
+    latent_dim: int = 1536  # total = per-head latent * num_heads
+    time_embed_dim: int = 2048
+    num_layers: int = 4
+    ca_block_cfg: Optional[dict] = None
+    sa_block_cfg: Optional[dict] = None
+    ffn_cfg: Optional[dict] = None
+    text_encoder: Optional[dict] = None
+    pose_encoder_cfg: Optional[dict] = None
+    pose_decoder_cfg: Optional[dict] = None
+    patch_size: int = 1
+    scale_func_cfg: Optional[dict] = None
+    moe_route_loss_weight: float = 1.0
+    template_kl_loss_weight: float = 0.0001
+    use_pos_embedding: bool = True
+    use_residual_connection: bool = False
+    time_embedding_type: str = "sinusoidal"
+    post_process_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+
+    def setup(self):
+        self.joint_embed = PoseEncoder(**(self.pose_encoder_cfg or {}),
+                                       patch_size=self.patch_size)
+        self.out = PoseDecoder(**(self.pose_decoder_cfg or {}),
+                               patch_size=self.patch_size)
+        te = dict(self.text_encoder or {})
+        te.pop("pretrained_model", None)
+        self.text_enc = TextEncoder(
+            latent_dim=te.get("latent_dim", 256), num_layers=te.get("num_layers", 2),
+            ff_size=te.get("ff_size", 2048), num_heads=te.get("num_heads", 4),
+            dropout=te.get("dropout", 0.0), activation=te.get("activation", "gelu"),
+            use_text_proj=te.get("use_text_proj", False),
+            time_embed_dim=self.time_embed_dim,
+            clip_width=te.get("clip_width", 512),
+            clip_layers=te.get("clip_layers", 12))
+        if self.use_pos_embedding:
+            self.sequence_embedding = self.param(
+                "sequence_embedding", nn.initializers.normal(1.0),
+                (self.max_seq_len, self.latent_dim))
+        if self.time_embedding_type == "learnable":
+            self.time_tokens = nn.Embed(1000, self.latent_dim)
+        self.time_embed = nn.Sequential([
+            nn.Dense(self.time_embed_dim), nn.silu, nn.Dense(self.time_embed_dim)])
+        blocks = []
+        for i in range(self.num_layers):
+            ffn_cfg = self.ffn_cfg[i] if isinstance(self.ffn_cfg, (list, tuple)) else self.ffn_cfg
+            blocks.append(STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
+                                              ffn_cfg=ffn_cfg,
+                                              name=f"block_{i}"))
+        self.temporal_decoder_blocks = blocks
+
+    # ---- text conditioning (precomputed once per sampling run) ----
+    def encode_text(self, text_ids, clip_feat=None, train: bool = False):
+        return self.text_enc(text_ids, clip_feat=clip_feat, train=train)
+
+    def init_all(self, motion, timesteps, motion_mask, motion_length, text_ids,
+                 num_intervals: int = 1):
+        """Single entry covering both the text tower and the denoiser so one
+        ``model.init`` initialises every parameter."""
+        xf_out = self.encode_text(text_ids)
+        return self(motion, timesteps, motion_mask=motion_mask,
+                    motion_length=motion_length, xf_out=xf_out,
+                    num_intervals=num_intervals, mode="test")
+
+    def scale_func(self, timestep):
+        """Timestep-dependent CFG weights (stmogen.py:655-659)."""
+        scale = (self.scale_func_cfg or {}).get("scale", 6.5)
+        w = (1 - (1000 - timestep.astype(jnp.float32)) / 1000) * scale + 1
+        return w, 1 - w
+
+    def _embed(self, motion, timesteps):
+        T = motion.shape[1] // self.patch_size
+        if self.time_embedding_type == "sinusoidal":
+            emb = self.time_embed(timestep_embedding(timesteps, self.latent_dim))
+        else:
+            emb = self.time_embed(self.time_tokens(timesteps))
+        h = self.joint_embed(motion)
+        if self.use_pos_embedding:
+            h = h + self.sequence_embedding[None, :T, :]
+        return h, emb
+
+    def __call__(self, motion, timesteps, motion_mask=None, motion_length=None,
+                 xf_out=None, num_intervals: int = 1, cond_type=None,
+                 mode: str = "test", train: bool = False, **kwargs):
+        """motion [B, T, D_in]; timesteps [B] in ORIGINAL diffusion space.
+
+        mode='train': single pass with the given cond_type dropout mask.
+        mode='test': CFG 2x-batch (text + uncond), mixed by scale_func.
+        """
+        src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
+        h, emb = self._embed(motion, timesteps)
+        B, T = h.shape[:2]
+        T_out = T * self.patch_size
+
+        if mode == "train":
+            for block in self.temporal_decoder_blocks:
+                h = block(h, xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
+                          motion_length=motion_length, num_intervals=num_intervals,
+                          train=train)
+            output = self.out(h).reshape(B, T_out, -1)
+        else:
+            all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
+            h2 = jnp.concatenate([h, h], axis=0)
+            xf2 = jnp.concatenate([xf_out, xf_out], axis=0)
+            emb2 = jnp.concatenate([emb, emb], axis=0)
+            mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
+            ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
+            for block in self.temporal_decoder_blocks:
+                h2 = block(h2, xf=xf2, emb=emb2, src_mask=mask2, cond_type=all_cond,
+                           motion_length=ml2, num_intervals=num_intervals, train=False)
+            out = self.out(h2).reshape(2 * B, T_out, -1)
+            text_coef, none_coef = self.scale_func(timesteps[0])
+            output = out[:B] * text_coef + out[B:] * none_coef
+
+        if self.use_residual_connection:
+            output = motion + output
+        return output
+
+    def aux_loss_weights(self) -> Dict[str, float]:
+        return {"moe_route_loss": self.moe_route_loss_weight,
+                "template_kl_loss": self.template_kl_loss_weight}

@@ -11,6 +11,7 @@ mmcv dependency, no metaclass magic, importable under jit tracing.
 from __future__ import annotations
 
 import inspect
+from collections.abc import Mapping
 from typing import Any, Callable, Dict, Optional
 
 
@@ -52,8 +53,8 @@ class Registry:
         """Instantiate from ``dict(type=..., **kwargs)``. None passes through."""
         if cfg is None:
             return None
-        if not isinstance(cfg, dict):
-            raise TypeError(f"cfg must be a dict, got {type(cfg)}")
+        if not isinstance(cfg, Mapping):
+            raise TypeError(f"cfg must be a mapping, got {type(cfg)}")
         cfg = dict(cfg)
         obj_type = cfg.pop("type")
         if isinstance(obj_type, str):
