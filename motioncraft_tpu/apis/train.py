@@ -1,0 +1,107 @@
+"""Training API: jittable train step + data-parallel training loop.
+
+Equivalent of the reference's ``train_model`` (mogen/apis/train.py:35-160):
+dataloaders -> (DDP wrap -> runner -> hooks) becomes (mesh -> pjit train step
+-> python epoch loop with checkpoint/eval hooks).  Gradient all-reduce is
+emitted by XLA from the batch sharding; there is no explicit DDP wrapper.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import (TrainState, batch_sharding, build_lr_schedule, create_mesh,
+                        create_train_state, replicated, shard_batch)
+
+
+def set_random_seed(seed: int) -> jax.Array:
+    """Explicit PRNG threading replaces the reference's global seeding
+    (apis/train.py:17-32)."""
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def make_train_step(arch) -> Callable:
+    """Pure (state, batch, rng) -> (state, logs) step for jit/pjit."""
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.extra_variables:
+                variables.update(state.extra_variables)
+            loss, logs = arch.loss(variables, batch, rng)
+            return loss, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        scalars = {k: v for k, v in logs.items()
+                   if hasattr(v, "ndim") and v.ndim == 0}
+        return new_state, scalars
+
+    return train_step
+
+
+def train_model(arch,
+                dataloader: Iterable[Dict[str, Any]],
+                *,
+                optimizer_cfg: Optional[dict] = None,
+                lr_config: Optional[dict] = None,
+                grad_clip: Optional[dict] = None,
+                max_epochs: int = 1,
+                steps_per_epoch: Optional[int] = None,
+                seed: int = 0,
+                mesh=None,
+                log_interval: int = 50,
+                logger=None,
+                checkpoint_fn: Optional[Callable] = None,
+                eval_fn: Optional[Callable] = None,
+                init_state: Optional[TrainState] = None,
+                frozen_prefixes=("text_enc/clip",)):
+    """Config-driven loop: Adam + step decay, per-epoch checkpoint/eval hooks
+    (reference recipe at configs/stmogen/...0_125b.py:13-24)."""
+    rng = set_random_seed(seed)
+    mesh = mesh or create_mesh()
+    first = next(iter(dataloader))
+
+    if init_state is None:
+        rng, init_rng = jax.random.split(rng)
+        variables = arch.init(init_rng, first)
+        schedule = build_lr_schedule((optimizer_cfg or {}).get("lr", 2e-4), lr_config,
+                                     steps_per_epoch or 1)
+        state = create_train_state(variables["params"], optimizer_cfg or {"type": "Adam"},
+                                   schedule, grad_clip, frozen_prefixes,
+                                   extra_variables={k: v for k, v in variables.items()
+                                                    if k != "params"} or None)
+    else:
+        state = init_state
+
+    step_fn = jax.jit(make_train_step(arch),
+                      in_shardings=(replicated(mesh),
+                                    batch_sharding(mesh), replicated(mesh)),
+                      out_shardings=(replicated(mesh), replicated(mesh)))
+
+    log = logger or (lambda msg: print(msg, flush=True))
+    global_step = 0
+    with jax.set_mesh(mesh):
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            for batch in dataloader:
+                rng, step_rng = jax.random.split(rng)
+                batch = shard_batch(batch, mesh)
+                state, logs = step_fn(state, batch, step_rng)
+                global_step += 1
+                if global_step % log_interval == 0:
+                    scal = {k: float(v) for k, v in logs.items()}
+                    log(f"epoch {epoch} step {global_step}: "
+                        + " ".join(f"{k}={v:.5f}" for k, v in sorted(scal.items())))
+            log(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+            if checkpoint_fn is not None:
+                checkpoint_fn(state, epoch)
+            if eval_fn is not None:
+                eval_fn(state, epoch)
+    return state
