@@ -135,13 +135,18 @@ class MoELayer(nn.Module):
         valid = positions < capacity  # capacity dropping
         gates = gates * valid.astype(gates.dtype)
 
-        # combine weights [N, E, C]
-        pos_onehot = jax.nn.one_hot(positions, capacity, dtype=x.dtype)  # [N, K, C]
-        exp_onehot = jax.nn.one_hot(topk_idx, E, dtype=x.dtype)  # [N, K, E]
-        combine = jnp.einsum("nk,nke,nkc->nec", gates.astype(x.dtype), exp_onehot, pos_onehot)
-        dispatch = (combine > 0).astype(x.dtype)
+        # Scatter/gather dispatch (the TPU equivalent of Tutel's sparse CUDA
+        # dispatch).  One-hot [N, E, C] einsums would be O(N^2) memory at real
+        # token counts (N = B*T*H ~ 3e5); instead each (token, k) writes its
+        # row into a flat (expert, slot) buffer and gathers it back.  Slots
+        # are unique by construction, the extra row is the overflow dump.
+        slots = topk_idx * capacity + positions  # [N, K]
+        slots = jnp.where(valid, slots, E * capacity)
+        flat_x = jnp.broadcast_to(x[:, None, :], (N, K, D)).reshape(N * K, D)
+        xe_flat = jnp.zeros((E * capacity + 1, D), x.dtype).at[slots.reshape(-1)].set(flat_x)
+        xe = xe_flat[:-1].reshape(E, capacity, D)
 
-        # expert FFN (batched over experts; one-hot dispatch keeps this 3 matmuls)
+        # expert FFN: batched matmuls over the expert axis
         w1 = self.param("expert_w1", nn.initializers.lecun_normal(), (E, D, self.hidden_dim))
         b1 = self.param("expert_b1", zeros_init, (E, self.hidden_dim))
         w2 = self.param("expert_w2", nn.initializers.lecun_normal(), (E, self.hidden_dim, D))
@@ -150,10 +155,11 @@ class MoELayer(nn.Module):
             w1 = jax.lax.with_sharding_constraint(w1, jax.sharding.PartitionSpec(self.expert_axis))
             w2 = jax.lax.with_sharding_constraint(w2, jax.sharding.PartitionSpec(self.expert_axis))
 
-        xe = jnp.einsum("nec,nd->ecd", dispatch, x)
         h = nn.gelu(jnp.einsum("ecd,edf->ecf", xe, w1) + b1[:, None, :], approximate=False)
         ye = jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None, :]
-        y = jnp.einsum("nec,ecd->nd", combine, ye)
+        ye_flat = jnp.concatenate([ye.reshape(E * capacity, D),
+                                   jnp.zeros((1, D), x.dtype)], axis=0)
+        y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype), ye_flat[slots])
 
         # aux loss visible via the 'losses' collection
         scores_wo_noise = jax.nn.softmax(logits, axis=1)

@@ -28,7 +28,7 @@ class ClipAttention(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, key_mask=None):
         B, T, C = x.shape
         qkv = nn.Dense(3 * C, name="in_proj")(x).reshape(B, T, 3, self.heads, C // self.heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -36,6 +36,8 @@ class ClipAttention(nn.Module):
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         if mask is not None:
             attn = attn + mask
+        if key_mask is not None:  # [B, T] bool, True = attendable
+            attn = jnp.where(key_mask[:, None, None, :], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, T, C)
         return nn.Dense(C, name="out_proj")(y)
@@ -87,11 +89,12 @@ class PostLNEncoderLayer(nn.Module):
     activation: str = "gelu"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        y = ClipAttention(self.d_model, self.nhead, name="self_attn")(x)
+    def __call__(self, x, train: bool = False, key_mask=None):
+        y = ClipAttention(self.d_model, self.nhead, name="self_attn")(x, key_mask=key_mask)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         x = nn.LayerNorm(name="norm1")(x + y)
-        act = nn.gelu if self.activation == "gelu" else nn.relu
+        act = ((lambda v: nn.gelu(v, approximate=False))
+               if self.activation == "gelu" else nn.relu)
         h = nn.Dense(self.dim_feedforward, name="linear1")(x)
         h = nn.Dropout(self.dropout)(act(h), deterministic=not train)
         h = nn.Dense(self.d_model, name="linear2")(h)

@@ -1,0 +1,254 @@
+"""PyTorch checkpoint -> flax param conversion.
+
+torch (cpu) is used ONLY to deserialize released checkpoints; all compute is
+JAX.  Key maps cover:
+  - the SMPL-X contrastive evaluator (epoch=199.ckpt: 'textencoder.*' /
+    'motionencoder.*' keys, t2m_bigru_smplx.py:418-437)
+  - the HumanML3D BiGRU evaluator (movement/motion/text encoder sub-dicts)
+  - OpenAI CLIP text tower weights
+  - STMoGen / ControlNet denoiser checkpoints (mmcv naming, including the
+    legacy 'temporal_decoder_blocks.N.*' -> '.N.base_block.*' ControlNet remap
+    from controlnet.py:427-439)
+
+Conventions: torch Linear weight [out, in] -> flax Dense kernel [in, out]
+(transpose); LayerNorm weight/bias -> scale/bias; Conv1d weight [out, in, k]
+-> flax Conv kernel [k, in, out].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model", "module"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def _k(prefix, name):
+    return f"{prefix}.{name}" if prefix else name
+
+
+def t_linear(sd, prefix):
+    out = {"kernel": sd[_k(prefix, "weight")].T}
+    if _k(prefix, "bias") in sd:
+        out["bias"] = sd[_k(prefix, "bias")]
+    return out
+
+
+def t_layernorm(sd, prefix):
+    return {"scale": sd[_k(prefix, "weight")], "bias": sd[_k(prefix, "bias")]}
+
+
+def t_conv1d(sd, prefix):
+    w = sd[_k(prefix, "weight")]  # [out, in, k]
+    out = {"kernel": np.transpose(w, (2, 1, 0))}
+    if _k(prefix, "bias") in sd:
+        out["bias"] = sd[_k(prefix, "bias")]
+    return out
+
+
+def t_embedding(sd, prefix):
+    return {"embedding": sd[_k(prefix, "weight")]}
+
+
+def t_mha(sd, prefix):
+    """torch nn.MultiheadAttention -> our ClipAttention (fused in_proj)."""
+    return {
+        "in_proj": {"kernel": sd[_k(prefix, "in_proj_weight")].T,
+                    "bias": sd[_k(prefix, "in_proj_bias")]},
+        "out_proj": {"kernel": sd[_k(prefix, "out_proj.weight")].T,
+                     "bias": sd[_k(prefix, "out_proj.bias")]},
+    }
+
+
+def t_postln_layer(sd, prefix):
+    """torch nn.TransformerEncoderLayer -> PostLNEncoderLayer."""
+    return {
+        "self_attn": t_mha(sd, _k(prefix, "self_attn")),
+        "linear1": t_linear(sd, _k(prefix, "linear1")),
+        "linear2": t_linear(sd, _k(prefix, "linear2")),
+        "norm1": t_layernorm(sd, _k(prefix, "norm1")),
+        "norm2": t_layernorm(sd, _k(prefix, "norm2")),
+    }
+
+
+def _tree_update(dst: dict, src: dict):
+    """Recursive in-place update with shape checking."""
+    for k, v in src.items():
+        if isinstance(v, dict):
+            _tree_update(dst[k], v)
+        else:
+            want = np.asarray(dst[k]).shape
+            got = np.asarray(v).shape
+            if want != got:
+                raise ValueError(f"shape mismatch for {k}: flax {want} vs torch {got}")
+            dst[k] = np.asarray(v, dtype=np.float32)
+
+
+def _unfreeze(params):
+    import flax
+    return flax.core.unfreeze(params) if hasattr(params, "unfreeze") or not isinstance(
+        params, dict) else params
+
+
+# -------------------------------------------------------------- evaluators
+def convert_actor_agnostic(sd: Dict[str, np.ndarray], num_layers: int = 4) -> dict:
+    out = {"skel_embedding": t_linear(sd, "skel_embedding"),
+           "mu_token": sd["mu_token"], "logvar_token": sd["logvar_token"]}
+    for i in range(num_layers):
+        out[f"layer_{i}"] = t_postln_layer(sd, f"seqTransEncoder.layers.{i}")
+    return out
+
+
+def convert_distilbert(sd: Dict[str, np.ndarray], prefix: str = "text_model.") -> dict:
+    g = lambda name: f"{prefix}{name}"
+    out = {
+        "word_embeddings": t_embedding(sd, g("embeddings.word_embeddings")),
+        "position_embeddings": t_embedding(sd, g("embeddings.position_embeddings")),
+        "emb_ln": t_layernorm(sd, g("embeddings.LayerNorm")),
+    }
+    for i in range(6):
+        lp = g(f"transformer.layer.{i}")
+        qw, kw, vw = (sd[f"{lp}.attention.{n}.weight"] for n in ("q_lin", "k_lin", "v_lin"))
+        qb, kb, vb = (sd[f"{lp}.attention.{n}.bias"] for n in ("q_lin", "k_lin", "v_lin"))
+        out[f"layer_{i}"] = {
+            "self_attn": {
+                "in_proj": {"kernel": np.concatenate([qw, kw, vw], axis=0).T,
+                            "bias": np.concatenate([qb, kb, vb])},
+                "out_proj": t_linear(sd, f"{lp}.attention.out_lin"),
+            },
+            "linear1": t_linear(sd, f"{lp}.ffn.lin1"),
+            "linear2": t_linear(sd, f"{lp}.ffn.lin2"),
+            "norm1": t_layernorm(sd, f"{lp}.sa_layer_norm"),
+            "norm2": t_layernorm(sd, f"{lp}.output_layer_norm"),
+        }
+    return out
+
+
+def load_smplx_evaluator_ckpt(path: str, motion_params, text_params,
+                              num_layers: int = 4) -> Tuple[Any, Any]:
+    """epoch=199.ckpt with 'motionencoder.*' / 'textencoder.*' keys."""
+    import jax
+    sd = load_torch_state_dict(path)
+    msd = {k[len("motionencoder."):]: v for k, v in sd.items()
+           if k.startswith("motionencoder.")}
+    tsd = {k[len("textencoder."):]: v for k, v in sd.items()
+           if k.startswith("textencoder.")}
+
+    motion_params = jax.tree_util.tree_map(np.asarray, _unfreeze(motion_params))
+    _tree_update(motion_params["params"], convert_actor_agnostic(msd, num_layers))
+
+    text_params = jax.tree_util.tree_map(np.asarray, _unfreeze(text_params))
+    t_out = {"projection": t_linear(tsd, "projection.1"),
+             "mu_token": tsd["mu_token"], "logvar_token": tsd["logvar_token"],
+             "text_model": convert_distilbert(tsd)}
+    for i in range(num_layers):
+        t_out[f"layer_{i}"] = t_postln_layer(tsd, f"seqTransEncoder.layers.{i}")
+    _tree_update(text_params["params"], t_out)
+    return motion_params, text_params
+
+
+def load_t2m_evaluator_ckpt(path: str, movement_params, motion_params, text_params,
+                            text_pos_params):
+    """Guo et al. checkpoint: dict with movement/motion/text encoder sub-dicts."""
+    import jax
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    to_np = lambda d: {k: v.detach().cpu().numpy() for k, v in d.items()}
+    mov, mot, txt = (to_np(ckpt["movement_encoder"]), to_np(ckpt["motion_encoder"]),
+                     to_np(ckpt["text_encoder"]))
+
+    movement_params = jax.tree_util.tree_map(np.asarray, _unfreeze(movement_params))
+    _tree_update(movement_params["params"], {
+        "conv1": t_conv1d(mov, "main.0"), "conv2": t_conv1d(mov, "main.3"),
+        "out_net": t_linear(mov, "out_net")})
+
+    def gru_tree(sd):
+        # torch GRU gate order (r,z,n) -> flax GRUCell {ir,iz,in,hr,hz,hn}
+        H = sd["gru.bias_ih_l0"].shape[0] // 3
+        def split3(a):
+            return a[:H], a[H:2 * H], a[2 * H:]
+        out = {}
+        for direction, name in (("", "gru_fwd"), ("_reverse", "gru_bwd")):
+            w_ih = sd[f"gru.weight_ih_l0{direction}"]
+            w_hh = sd[f"gru.weight_hh_l0{direction}"]
+            b_ih = sd[f"gru.bias_ih_l0{direction}"]
+            b_hh = sd[f"gru.bias_hh_l0{direction}"]
+            wr, wz, wn = split3(w_ih)
+            hr, hz, hn = split3(w_hh)
+            br, bz, bn = split3(b_ih)
+            hbr, hbz, hbn = split3(b_hh)
+            # flax GRUCell folds the hidden-path r/z biases into the input path
+            # (hr/hz are bias-free); hn keeps its own bias like torch's b_hn.
+            out[name] = {
+                "ir": {"kernel": wr.T, "bias": br + hbr},
+                "iz": {"kernel": wz.T, "bias": bz + hbz},
+                "in": {"kernel": wn.T, "bias": bn},
+                "hr": {"kernel": hr.T}, "hz": {"kernel": hz.T},
+                "hn": {"kernel": hn.T, "bias": hbn},
+            }
+        return out
+
+    def bigru_tree(sd):
+        tree = {"input_emb": t_linear(sd, "input_emb"),
+                "hidden": sd["hidden"].reshape(2, -1),
+                "out1": t_linear(sd, "output_net.0"),
+                "out_ln": t_layernorm(sd, "output_net.1"),
+                "out2": t_linear(sd, "output_net.3")}
+        tree.update(gru_tree(sd))
+        return tree
+
+    motion_params = jax.tree_util.tree_map(np.asarray, _unfreeze(motion_params))
+    _tree_update(motion_params["params"], bigru_tree(mot))
+    text_params = jax.tree_util.tree_map(np.asarray, _unfreeze(text_params))
+    _tree_update(text_params["params"], bigru_tree(txt))
+    text_pos_params = jax.tree_util.tree_map(np.asarray, _unfreeze(text_pos_params))
+    _tree_update(text_pos_params["params"], {"kernel": txt["pos_emb.weight"].T,
+                                             "bias": txt["pos_emb.bias"]})
+    return movement_params, motion_params, text_params, text_pos_params
+
+
+# ------------------------------------------------------------------ CLIP
+def convert_clip_text(sd: Dict[str, np.ndarray], layers: int = 12) -> dict:
+    """OpenAI CLIP state dict -> ClipTextModel params."""
+    out = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "positional_embedding": sd["positional_embedding"],
+        "ln_final": t_layernorm(sd, "ln_final"),
+    }
+    for i in range(layers):
+        p = f"transformer.resblocks.{i}"
+        out[f"resblock_{i}"] = {
+            "attn": t_mha(sd, f"{p}.attn"),
+            "ln_1": t_layernorm(sd, f"{p}.ln_1"),
+            "ln_2": t_layernorm(sd, f"{p}.ln_2"),
+            "mlp_fc": t_linear(sd, f"{p}.mlp.c_fc"),
+            "mlp_proj": t_linear(sd, f"{p}.mlp.c_proj"),
+        }
+    return out
+
+
+def remap_controlnet_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Legacy ControlNet checkpoint key remap (controlnet.py:427-439):
+    'temporal_decoder_blocks.N.xxx' -> 'temporal_decoder_blocks.N.base_block.xxx'
+    unless already under base_block/control blocks."""
+    out = {}
+    pat = re.compile(r"^(model\.)?temporal_decoder_blocks\.(\d+)\.(?!base_block|control)")
+    for k, v in sd.items():
+        m = pat.match(k)
+        if m:
+            idx = m.end()
+            k = k[:idx] + "base_block." + k[idx:]
+        out[k] = v
+    return out
