@@ -130,14 +130,15 @@ class MotionDiffusion:
 
         def model_fn(x_t, t_model):
             nonlocal state
-            xf_out = self.model.apply(variables, batch["text_ids"],
-                                      method="encode_text", train=True,
-                                      rngs={"dropout": r_drop})
+            enc = self.model.apply(variables, batch["text_ids"],
+                                   method="encode_text", train=True,
+                                   rngs={"dropout": r_drop})
+            xf_proj, xf_out = enc if isinstance(enc, tuple) else (None, enc)
             out, st = self.model.apply(
                 variables, x_t, t_model,
                 motion_mask=motion_mask, motion_length=motion_length,
-                xf_out=xf_out, num_intervals=num_intervals, cond_type=cond_type,
-                mode="train", train=True,
+                xf_out=xf_out, xf_proj=xf_proj, num_intervals=num_intervals,
+                cond_type=cond_type, mode="train", train=True,
                 rngs={"gate_noise": r_gate, "dropout": r_drop},
                 mutable=["losses"])
             state = st
@@ -201,16 +202,18 @@ class MotionDiffusion:
         motion_mask = batch["motion_mask"].astype(jnp.float32)
         motion_length = batch["motion_length"]
         xf_out = batch.get("xf_out")
+        xf_proj = batch.get("xf_proj")
         if xf_out is None:
-            xf_out = self.encode_text(variables, batch["text_ids"],
-                                      batch.get("clip_feat"))
+            enc = self.encode_text(variables, batch["text_ids"],
+                                   batch.get("clip_feat"))
+            xf_proj, xf_out = enc if isinstance(enc, tuple) else (None, enc)
 
         extra = extra_model_kwargs or {}
 
         def model_fn(x, t_model):
             return self.model.apply(
                 variables, x, t_model, motion_mask=motion_mask,
-                motion_length=motion_length, xf_out=xf_out,
+                motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,
                 num_intervals=num_intervals, mode="test", **extra)
 
         r_noise, r_loop = jax.random.split(rng)

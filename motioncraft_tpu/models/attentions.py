@@ -427,3 +427,124 @@ class SAMI(nn.Module):
             kl = -0.5 * jnp.sum(1 + logvar - mu ** 2 - jnp.exp(logvar))
             self.sow("losses", "kl_loss", kl)
         return y
+
+
+@ATTENTIONS.register_module()
+class SemanticsModulatedAttention(nn.Module):
+    """ReMoDiffuse retrieval-conditioned linear attention
+    (semantics_modulated.py:18-85): keys/values from text, retrieved
+    (motion, text) pairs, and self-motion; retrieval value path is zero-init."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 re_dict=None, train: bool = False, **kwargs):
+        B, T, D = x.shape
+        H = self.num_heads
+        re_motion = re_dict["re_motion"]  # [B, R, Tr, D]
+        re_text = re_dict["re_text"]      # [B, R, 1, D]
+        re_mask = re_dict["re_mask"].reshape(B, -1, 1)
+        R, Tr = re_motion.shape[1], re_motion.shape[2]
+        N = xf.shape[1] + T + R * Tr
+
+        xn = nn.LayerNorm(name="norm")(x)
+        tn = nn.LayerNorm(name="text_norm")(xf)
+        text_cond = ((cond_type % 10) > 0).astype(x.dtype)
+        retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
+
+        re_feat_key = jnp.concatenate(
+            [re_motion, jnp.broadcast_to(re_text, (B, R, Tr, D))], axis=-1
+        ).reshape(B, R * Tr, 2 * D)
+        key = jnp.concatenate([
+            nn.Dense(D, name="key_text")(tn) + (1 - text_cond) * NEG_INF,
+            nn.Dense(D, name="key_retr")(nn.LayerNorm(name="retr_norm1")(re_feat_key))
+            + (1 - retr_cond) * NEG_INF + (1 - re_mask) * NEG_INF,
+            nn.Dense(D, name="key_motion")(xn) + (1 - src_mask) * NEG_INF,
+        ], axis=1)
+        query = jax.nn.softmax(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
+        key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+
+        re_feat_value = re_motion.reshape(B, R * Tr, D)
+        from .blocks import ZeroDense
+        value = jnp.concatenate([
+            nn.Dense(D, name="value_text")(tn) * text_cond,
+            ZeroDense(D, name="value_retr")(nn.LayerNorm(name="retr_norm2")(re_feat_value))
+            * retr_cond * re_mask,
+            nn.Dense(D, name="value_motion")(xn) * src_mask,
+        ], axis=1).reshape(B, N, H, -1)
+        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
+                                    name="proj_out")(y, emb, train=train)
+
+
+@ATTENTIONS.register_module()
+class DualSemanticsModulatedAttention(nn.Module):
+    """Two-person variant (semantics_modulated.py:88-189): each person attends
+    to text, retrieval, itself, and the other person, with shared weights."""
+
+    latent_dim: int
+    text_latent_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    time_embed_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 re_dict=None, train: bool = False, **kwargs):
+        L = self.latent_dim
+        x1, x2 = x[:, :, :L], x[:, :, L:]
+        B, T, D = x1.shape
+        H = self.num_heads
+        re_motion = re_dict["re_motion"]
+        re_text = re_dict["re_text"]
+        re_mask = re_dict["re_mask"].reshape(B, -1, 1)
+        R, Tr = re_motion.shape[1], re_motion.shape[2]
+        N = xf.shape[1] + 2 * T + R * Tr
+
+        norm = nn.LayerNorm(name="norm")
+        tn = nn.LayerNorm(name="text_norm")(xf)
+        text_cond = ((cond_type % 10) > 0).astype(x.dtype)
+        retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
+
+        q_proj = nn.Dense(D, name="query")
+        k_text = nn.Dense(D, name="key_text")
+        v_text = nn.Dense(D, name="value_text")
+        k_motion = nn.Dense(D, name="key_motion")
+        v_motion = nn.Dense(D, name="value_motion")
+        k_inter = nn.Dense(D, name="key_inter")
+        v_inter = nn.Dense(D, name="value_inter")
+        k_retr = nn.Dense(D, name="key_retr")
+        from .blocks import ZeroDense
+        v_retr = ZeroDense(D, name="value_retr")
+        retr_n1 = nn.LayerNorm(name="retr_norm1")
+        retr_n2 = nn.LayerNorm(name="retr_norm2")
+        proj_out = StylizationBlock(D, self.time_embed_dim, self.dropout, name="proj_out")
+
+        n1, n2 = norm(x1), norm(x2)
+        re_feat_key = jnp.concatenate(
+            [re_motion, jnp.broadcast_to(re_text, (B, R, Tr, D))], axis=-1
+        ).reshape(B, R * Tr, 2 * D)
+        kt = k_text(tn) + (1 - text_cond) * NEG_INF
+        kr = k_retr(retr_n1(re_feat_key)) + (1 - retr_cond) * NEG_INF + (1 - re_mask) * NEG_INF
+        vt = v_text(tn) * text_cond
+        vr = v_retr(retr_n2(re_motion.reshape(B, R * Tr, D))) * retr_cond * re_mask
+
+        def person(nx, nother):
+            key = jnp.concatenate([kt, kr,
+                                   k_motion(nx) + (1 - src_mask) * NEG_INF,
+                                   k_inter(nother) + (1 - src_mask) * NEG_INF], axis=1)
+            value = jnp.concatenate([vt, vr, v_motion(nx) * src_mask,
+                                     v_inter(nother) * src_mask], axis=1)
+            query = jax.nn.softmax(q_proj(nx).reshape(B, T, H, -1), axis=-1)
+            key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+            return linear_attention_core(query, key, value.reshape(B, N, H, -1)
+                                         ).reshape(B, T, D)
+
+        y1 = x1 + proj_out(person(n1, n2), emb, train=train)
+        y2 = x2 + proj_out(person(n2, n1), emb, train=train)
+        return jnp.concatenate([y1, y2], axis=-1)

@@ -22,7 +22,7 @@ from flax import linen as nn
 from ..registry import ATTENTIONS, SUBMODULES
 from . import body_layout
 from .blocks import SFFN, PatchEmbed1D, timestep_embedding, unpatchify, zeros_init
-from .text_encoder import TextEncoder
+from .diffusion_transformer import DiffusionTransformerBase
 
 
 def _maybe_zero(zero: bool):
@@ -141,71 +141,31 @@ class STMoGenDecoderLayer(nn.Module):
 
 
 @SUBMODULES.register_module()
-class STMoGenTransformer(nn.Module):
-    input_feats: int
-    max_seq_len: int = 196
-    latent_dim: int = 1536  # total = per-head latent * num_heads
-    time_embed_dim: int = 2048
-    num_layers: int = 4
-    ca_block_cfg: Optional[dict] = None
-    sa_block_cfg: Optional[dict] = None
-    ffn_cfg: Optional[dict] = None
-    text_encoder: Optional[dict] = None
+class STMoGenTransformer(DiffusionTransformerBase):
+    """MotionCraft main model: body-part PoseEncoder/Decoder + STMA/SFFN stack
+    (stmogen.py:626-761)."""
+
     pose_encoder_cfg: Optional[dict] = None
     pose_decoder_cfg: Optional[dict] = None
     patch_size: int = 1
     scale_func_cfg: Optional[dict] = None
     moe_route_loss_weight: float = 1.0
     template_kl_loss_weight: float = 0.0001
-    use_pos_embedding: bool = True
-    use_residual_connection: bool = False
-    time_embedding_type: str = "sinusoidal"
-    post_process_cfg: Optional[dict] = None
-    init_cfg: Optional[dict] = None
 
-    def setup(self):
+    def setup_io(self):
         self.joint_embed = PoseEncoder(**(self.pose_encoder_cfg or {}),
                                        patch_size=self.patch_size)
         self.out = PoseDecoder(**(self.pose_decoder_cfg or {}),
                                patch_size=self.patch_size)
-        te = dict(self.text_encoder or {})
-        te.pop("pretrained_model", None)
-        self.text_enc = TextEncoder(
-            latent_dim=te.get("latent_dim", 256), num_layers=te.get("num_layers", 2),
-            ff_size=te.get("ff_size", 2048), num_heads=te.get("num_heads", 4),
-            dropout=te.get("dropout", 0.0), activation=te.get("activation", "gelu"),
-            use_text_proj=te.get("use_text_proj", False),
-            time_embed_dim=self.time_embed_dim,
-            clip_width=te.get("clip_width", 512),
-            clip_layers=te.get("clip_layers", 12))
-        if self.use_pos_embedding:
-            self.sequence_embedding = self.param(
-                "sequence_embedding", nn.initializers.normal(1.0),
-                (self.max_seq_len, self.latent_dim))
-        if self.time_embedding_type == "learnable":
-            self.time_tokens = nn.Embed(1000, self.latent_dim)
-        self.time_embed = nn.Sequential([
-            nn.Dense(self.time_embed_dim), nn.silu, nn.Dense(self.time_embed_dim)])
+
+    def build_temporal_blocks(self):
         blocks = []
         for i in range(self.num_layers):
-            ffn_cfg = self.ffn_cfg[i] if isinstance(self.ffn_cfg, (list, tuple)) else self.ffn_cfg
+            ffn_cfg = (self.ffn_cfg[i] if isinstance(self.ffn_cfg, (list, tuple))
+                       else self.ffn_cfg)
             blocks.append(STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
-                                              ffn_cfg=ffn_cfg,
-                                              name=f"block_{i}"))
-        self.temporal_decoder_blocks = blocks
-
-    # ---- text conditioning (precomputed once per sampling run) ----
-    def encode_text(self, text_ids, clip_feat=None, train: bool = False):
-        return self.text_enc(text_ids, clip_feat=clip_feat, train=train)
-
-    def init_all(self, motion, timesteps, motion_mask, motion_length, text_ids,
-                 num_intervals: int = 1):
-        """Single entry covering both the text tower and the denoiser so one
-        ``model.init`` initialises every parameter."""
-        xf_out = self.encode_text(text_ids)
-        return self(motion, timesteps, motion_mask=motion_mask,
-                    motion_length=motion_length, xf_out=xf_out,
-                    num_intervals=num_intervals, mode="test")
+                                              ffn_cfg=ffn_cfg, name=f"block_{i}"))
+        return blocks
 
     def scale_func(self, timestep):
         """Timestep-dependent CFG weights (stmogen.py:655-659)."""
@@ -213,54 +173,35 @@ class STMoGenTransformer(nn.Module):
         w = (1 - (1000 - timestep.astype(jnp.float32)) / 1000) * scale + 1
         return w, 1 - w
 
-    def _embed(self, motion, timesteps):
-        T = motion.shape[1] // self.patch_size
-        if self.time_embedding_type == "sinusoidal":
-            emb = self.time_embed(timestep_embedding(timesteps, self.latent_dim))
-        else:
-            emb = self.time_embed(self.time_tokens(timesteps))
-        h = self.joint_embed(motion)
-        if self.use_pos_embedding:
-            h = h + self.sequence_embedding[None, :T, :]
-        return h, emb
-
-    def __call__(self, motion, timesteps, motion_mask=None, motion_length=None,
-                 xf_out=None, num_intervals: int = 1, cond_type=None,
-                 mode: str = "test", train: bool = False, **kwargs):
-        """motion [B, T, D_in]; timesteps [B] in ORIGINAL diffusion space.
-
-        mode='train': single pass with the given cond_type dropout mask.
-        mode='test': CFG 2x-batch (text + uncond), mixed by scale_func.
-        """
-        src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
-        h, emb = self._embed(motion, timesteps)
-        B, T = h.shape[:2]
-        T_out = T * self.patch_size
-
-        if mode == "train":
-            for block in self.temporal_decoder_blocks:
-                h = block(h, xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
-                          motion_length=motion_length, num_intervals=num_intervals,
-                          train=train)
-            output = self.out(h).reshape(B, T_out, -1)
-        else:
-            all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
-            h2 = jnp.concatenate([h, h], axis=0)
-            xf2 = jnp.concatenate([xf_out, xf_out], axis=0)
-            emb2 = jnp.concatenate([emb, emb], axis=0)
-            mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
-            ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
-            for block in self.temporal_decoder_blocks:
-                h2 = block(h2, xf=xf2, emb=emb2, src_mask=mask2, cond_type=all_cond,
-                           motion_length=ml2, num_intervals=num_intervals, train=False)
-            out = self.out(h2).reshape(2 * B, T_out, -1)
-            text_coef, none_coef = self.scale_func(timesteps[0])
-            output = out[:B] * text_coef + out[B:] * none_coef
-
-        if self.use_residual_connection:
-            output = motion + output
-        return output
-
     def aux_loss_weights(self) -> Dict[str, float]:
         return {"moe_route_loss": self.moe_route_loss_weight,
                 "template_kl_loss": self.template_kl_loss_weight}
+
+    def forward_train(self, h=None, src_mask=None, emb=None, xf_out=None,
+                      cond_type=None, motion_length=None, num_intervals=1,
+                      train=False, **kwargs):
+        B, T = h.shape[:2]
+        T_out = T * self.patch_size
+        for block in self.temporal_decoder_blocks:
+            h = block(h, xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
+                      motion_length=motion_length, num_intervals=num_intervals,
+                      train=train)
+        return self.out(h).reshape(B, T_out, -1)
+
+    def forward_test(self, h=None, src_mask=None, emb=None, xf_out=None,
+                     motion_length=None, num_intervals=1, timesteps=None, **kwargs):
+        """CFG 2x-batch (text + uncond), mixed by scale_func (stmogen.py:725-761)."""
+        B, T = h.shape[:2]
+        T_out = T * self.patch_size
+        all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
+        h2 = jnp.concatenate([h, h], axis=0)
+        xf2 = jnp.concatenate([xf_out, xf_out], axis=0)
+        emb2 = jnp.concatenate([emb, emb], axis=0)
+        mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
+        ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
+        for block in self.temporal_decoder_blocks:
+            h2 = block(h2, xf=xf2, emb=emb2, src_mask=mask2, cond_type=all_cond,
+                       motion_length=ml2, num_intervals=num_intervals, train=False)
+        out = self.out(h2).reshape(2 * B, T_out, -1)
+        text_coef, none_coef = self.scale_func(timesteps[0])
+        return out[:B] * text_coef + out[B:] * none_coef

@@ -65,9 +65,10 @@ class ClipTextModel(nn.Module):
     width: int = 512
     layers: int = 12
     heads: int = 8
+    embed_dim: int = 512  # text_projection output (pooled encode_text)
 
     @nn.compact
-    def __call__(self, text_ids):
+    def __call__(self, text_ids, return_pooled: bool = False):
         tok = nn.Embed(self.vocab_size, self.width, name="token_embedding")(text_ids)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (self.context_length, self.width))
@@ -76,7 +77,15 @@ class ClipTextModel(nn.Module):
         causal = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)[None, None]
         for i in range(self.layers):
             x = ClipBlock(self.width, self.heads, name=f"resblock_{i}")(x, causal)
-        return nn.LayerNorm(name="ln_final")(x)  # [B, 77, width]
+        x = nn.LayerNorm(name="ln_final")(x)  # [B, 77, width]
+        if return_pooled:
+            # CLIP encode_text: features at the EOT token (= argmax token id)
+            # projected by text_projection
+            proj = self.param("text_projection", nn.initializers.normal(0.02),
+                              (self.width, self.embed_dim))
+            eot = jnp.argmax(text_ids, axis=-1)
+            return x[jnp.arange(x.shape[0]), eot] @ proj
+        return x
 
 
 class PostLNEncoderLayer(nn.Module):
