@@ -1,0 +1,118 @@
+"""Windowed autoregressive long-form generation with overlap seeding /
+RePaint outpainting.
+
+Re-designs the hot windowed loops of tools/s2g_test.py:120-260 (64-frame
+windows, pre_frames=4) and tools/m2d_test.py:91-309 (120-frame windows,
+pre_frames=30): the python loop over windows stays on host (window count is
+data-dependent), but each window is ONE jitted DDIM scan — including the CFG
+doubling, the RePaint x0-overwrite/blend, and the noisy-tail carry — so the
+device never round-trips inside a window.
+
+All carries stay in normalized latent space; de-normalize once at the end
+(as the reference does at :229-249).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.sampling import Outpainting, RepaintConfig
+
+
+def num_windows(total_frames: int, window: int, pre_frames: int) -> int:
+    """roundt = (n - pre) // (window - pre) (s2g_test.py:144-146)."""
+    return max(1, (total_frames - pre_frames) // (window - pre_frames))
+
+
+def windowed_sample(
+    arch,
+    variables,
+    make_window_batch: Callable[[int, int], Dict],
+    *,
+    total_frames: int,
+    window: int,
+    pre_frames: int,
+    rng: jax.Array,
+    use_repaint: bool = True,
+    repaint: Optional[RepaintConfig] = None,
+    feat_dim: int = 322,
+) -> np.ndarray:
+    """Generate ``total_frames`` of motion window by window.
+
+    make_window_batch(start, end) returns the batch dict for frames
+    [start, end) — motion zeros [1, window, D], motion_mask/length, text_ids,
+    and the aligned condition 'c' slice.
+
+    Window seeding: with use_repaint, the first pre_frames of each window are
+    outpainted from the previous window's tail via the RePaint harmonized DDIM
+    (y={'gt','outpainting_mask'} in the reference, s2g_test.py:188-212);
+    otherwise plain tail-seeding via q_sample (pre_seq).
+    """
+    repaint = repaint or RepaintConfig(overlap_len=pre_frames)
+    rounds = num_windows(total_frames, window, pre_frames)
+    stride = window - pre_frames
+
+    sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r))
+
+    def sample_outpaint_jit_factory():
+        def f(v, b, r, gt, mask, prev_tail, clip_idx_gt0):
+            op = Outpainting(mask=mask, gt=gt,
+                             clip_idx=1 if clip_idx_gt0 else 0,
+                             previous_noisy_tail=prev_tail)
+            return arch.sample(v, b, r, outpainting=op)
+        return jax.jit(f, static_argnums=(6,))
+
+    sample_outpaint = sample_outpaint_jit_factory()
+
+    out_frames: list = []
+    last_window = None  # normalized-space [1, window, D]
+    noisy_tail = None
+
+    for w in range(rounds):
+        start = w * stride
+        end = start + window
+        batch = make_window_batch(start, end)
+        rng, sub = jax.random.split(rng)
+
+        if w == 0 or not use_repaint:
+            if w == 0:
+                result = sample_jit(variables, batch, sub)
+            else:
+                # seed the overlap with the previous tail (pre_seq path)
+                pre_seq = last_window[:, -pre_frames:, :]
+                result = jax.jit(lambda v, b, r, p: arch.sample(v, b, r, pre_seq=p))(
+                    variables, batch, sub, pre_seq)
+            sample = result[0] if isinstance(result, tuple) else result
+        else:
+            D = feat_dim
+            gt = jnp.zeros((1, window, D)).at[:, :pre_frames, :].set(
+                last_window[:, -pre_frames:, :])
+            mask = jnp.zeros((1, window, D), bool).at[:, :pre_frames, :].set(True)
+            prev_tail = (noisy_tail if noisy_tail is not None else
+                         jnp.zeros((arch.diffusion_test.num_timesteps, 1,
+                                    repaint.overlap_len, D)))
+            result = sample_outpaint(variables, batch, sub, gt, mask, prev_tail,
+                                     noisy_tail is not None and repaint.same_overlap_noisy)
+            if isinstance(result, tuple):
+                sample, noisy_tail = result
+            else:
+                sample = result
+
+        last_window = sample
+        host = np.asarray(jax.device_get(sample))[0]
+        if w == 0:
+            out_frames.append(host)
+        else:
+            out_frames.append(host[pre_frames:])
+
+    full = np.concatenate(out_frames, axis=0)
+    return full[:total_frames]
+
+
+def denormalize(motion: np.ndarray, mean: np.ndarray, std: np.ndarray,
+                eps: float = 1e-9) -> np.ndarray:
+    return motion * (std + eps) + mean

@@ -99,11 +99,14 @@ class MotionDiffusion:
         if text_ids is None:
             text_ids = jnp.asarray(tokenize(example_batch.get("text", [""] * B)))
         t = jnp.zeros((B,), jnp.int32)
+        extra = {}
+        if example_batch.get("c") is not None:
+            extra["c"] = example_batch["c"]
         variables = self.model.init(
             {"params": rng}, motion, t,
             motion_mask=example_batch["motion_mask"],
             motion_length=example_batch["motion_length"],
-            text_ids=text_ids, method="init_all")
+            text_ids=text_ids, method="init_all", **extra)
         return variables
 
     # ------------------------------------------------------------------ train
@@ -138,9 +141,9 @@ class MotionDiffusion:
                 variables, x_t, t_model,
                 motion_mask=motion_mask, motion_length=motion_length,
                 xf_out=xf_out, xf_proj=xf_proj, num_intervals=num_intervals,
-                cond_type=cond_type, mode="train", train=True,
+                cond_type=cond_type, c=batch.get("c"), mode="train", train=True,
                 rngs={"gate_noise": r_gate, "dropout": r_drop},
-                mutable=["losses"])
+                mutable=["losses", "batch_stats"])
             state = st
             return out
 
@@ -214,7 +217,7 @@ class MotionDiffusion:
             return self.model.apply(
                 variables, x, t_model, motion_mask=motion_mask,
                 motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,
-                num_intervals=num_intervals, mode="test", **extra)
+                num_intervals=num_intervals, c=batch.get("c"), mode="test", **extra)
 
         r_noise, r_loop = jax.random.split(rng)
         noise = jax.random.normal(r_noise, (B, T, D), jnp.float32)

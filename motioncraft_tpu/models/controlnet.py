@@ -1,0 +1,256 @@
+"""ControlNet branch for plug-and-play multimodal control (S2G / M2D).
+
+Re-designs /root/reference/mogen/models/transformers/controlnet.py (STMoGen
+base) and controlnet_mcm.py (MCM base):
+  - the base model runs frozen (optimizer-masked, see
+    ``controlnet_frozen_prefixes``); the first ``copy_blocks_num`` decoder
+    layers are duplicated as trainable control blocks with zero-init
+    before/after projections, so at init the branch is an exact no-op.
+  - the condition stream (raw 16 kHz audio -> WavEncoder, or 163-d music
+    features) enters through a zero-init input projection and is injected as
+    ``c_skip`` residuals into the base blocks.
+  - condition-CFG zeroes ``c`` on the unconditional half of the CFG batch.
+
+Weight transfer from a pretrained base (copied_block := base block) is a pure
+host-side param-tree copy: ``init_control_blocks_from_base``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import SUBMODULES
+from .baselines import MCMDecoderLayer
+from .blocks import PatchEmbed1D, WavEncoder, ZeroDense, timestep_embedding
+from .stmogen import STMoGenDecoderLayer, STMoGenTransformer
+
+
+class ControlT2MBlock(nn.Module):
+    """Copied decoder layer + zero-init in/out projections (controlnet.py:30-88)."""
+
+    ca_block_cfg: Optional[dict] = None
+    sa_block_cfg: Optional[dict] = None
+    ffn_cfg: Optional[dict] = None
+    block_index: int = 0
+    latent_dim: int = 512
+    block_type: str = "stmogen"  # or "mcm"
+
+    @nn.compact
+    def __call__(self, x, c, **kwargs):
+        if self.block_index == 0:
+            c = nn.Dense(self.latent_dim, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros, name="before_proj")(c)
+            inp = x + c
+        else:
+            inp = c
+        if self.block_type == "mcm":
+            copied = MCMDecoderLayer(sa_block_cfg=self.sa_block_cfg,
+                                     ca_block_cfg=self.ca_block_cfg,
+                                     ffn_cfg=self.ffn_cfg, name="copied_block")
+        else:
+            copied = STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
+                                         ffn_cfg=self.ffn_cfg, name="copied_block")
+        c = copied(inp, **kwargs)
+        c_skip = ZeroDense(self.latent_dim, name="after_proj")(c)
+        return c, c_skip
+
+
+@SUBMODULES.register_module()
+class ControlT2MHalf(nn.Module):
+    """Frozen base + control branch (controlnet.py:108-465)."""
+
+    base_model: Optional[dict] = None  # config of the base submodule
+    copy_blocks_num: int = 2
+    control_cond_feats: int = 438
+    condition_encode_cfg: Optional[dict] = None
+    joint_embed_unfreeze: bool = True
+    unfreeze_mode: str = "all"
+    patch_size: int = 1
+    block_type: str = "stmogen"
+    init_cfg: Optional[dict] = None
+
+    def setup(self):
+        cfg = {k: v for k, v in dict(self.base_model or {}).items() if k != "type"}
+        base_type = (self.base_model or {}).get("type", "STMoGenTransformer")
+        self.base = SUBMODULES.get(base_type)(**cfg, name="base_model")
+        cc = dict(self.condition_encode_cfg or {})
+        self.condition_cfg_enabled = cc.get("condition_cfg", True)
+        latent_dim = self.base.latent_dim
+        if self.copy_blocks_num >= self.base.num_layers:
+            raise ValueError(
+                f"copy_blocks_num ({self.copy_blocks_num}) must be < the base "
+                f"model's num_layers ({self.base.num_layers}): each control "
+                f"block injects into the NEXT base block")
+        blocks = []
+        for i in range(self.copy_blocks_num):
+            blocks.append(ControlT2MBlock(
+                ca_block_cfg=self.base.ca_block_cfg,
+                sa_block_cfg=getattr(self.base, "sa_block_cfg", None),
+                ffn_cfg=(self.base.ffn_cfg[i]
+                         if isinstance(self.base.ffn_cfg, (list, tuple))
+                         else self.base.ffn_cfg),
+                block_index=i, latent_dim=latent_dim, block_type=self.block_type,
+                name=f"controlnet_{i}"))
+        self.controlnet = blocks
+
+        if cc.get("condition_pre_encode", False):
+            if cc.get("condition_pre_encode_type", "wav") != "wav":
+                raise NotImplementedError(cc.get("condition_pre_encode_type"))
+            self.condition_pre_encoder = WavEncoder(
+                out_dim=cc.get("condition_latent_dim", 512),
+                audio_in=cc.get("control_cond_feats", self.control_cond_feats))
+            in_feats = cc.get("condition_latent_dim", 512)
+        else:
+            self.condition_pre_encoder = None
+            in_feats = self.control_cond_feats
+        del in_feats
+        self.control_cond_input = ZeroDense(latent_dim)
+        if self.patch_size > 1:
+            self.condition_patch = PatchEmbed1D(self.patch_size, latent_dim)
+        else:
+            self.condition_patch = None
+
+    # ------------------------------------------------------------ plumbing
+    def encode_text(self, text_ids, clip_feat=None, train: bool = False):
+        return self.base.encode_text(text_ids, clip_feat=clip_feat, train=train)
+
+    def aux_loss_weights(self) -> Dict[str, float]:
+        # read from the config dict: this is called on the unbound module
+        cfg = dict(self.base_model or {})
+        return {"moe_route_loss": cfg.get("moe_route_loss_weight", 1.0),
+                "template_kl_loss": cfg.get("template_kl_loss_weight", 0.0001)}
+
+    def scale_func(self, timestep):
+        return self.base.scale_func(timestep)
+
+    def forward_c(self, c, h, train: bool = False):
+        """Condition pre-encode -> zero-init proj -> patchify -> pad to h's
+        length, with the base sequence embedding added (controlnet.py:186-199)."""
+        if self.condition_pre_encoder is not None:
+            c = self.condition_pre_encoder(c, train=train)
+        c = self.control_cond_input(c)
+        if self.condition_patch is not None:
+            c = self.condition_patch(c)
+        seq_len_c = min(c.shape[1], h.shape[1])  # original condition length
+        pad = h.shape[1] - c.shape[1]
+        if pad > 0:
+            c = jnp.concatenate([c, jnp.zeros((c.shape[0], pad, c.shape[2]), c.dtype)],
+                                axis=1)
+        elif pad < 0:
+            c = c[:, :h.shape[1]]
+        c = c.at[:, :seq_len_c, :].add(
+            self.base.sequence_embedding[None, :seq_len_c, :])
+        return c
+
+    def _stack(self, h, xf_out, emb, src_mask, cond_type, motion_length,
+               num_intervals, c, train):
+        """block0 -> (control blocks inject c_skip) -> rest (controlnet.py:268-338)."""
+        kw = dict(xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
+                  motion_length=motion_length, num_intervals=num_intervals,
+                  train=train)
+        blocks = self.base.temporal_decoder_blocks
+        h = blocks[0](h, **kw)
+        if c is not None:
+            for i in range(1, self.copy_blocks_num + 1):
+                c, c_skip = self.controlnet[i - 1](h, c, **kw)
+                h = blocks[i](h + c_skip, **kw)
+            for i in range(self.copy_blocks_num + 1, len(blocks)):
+                h = blocks[i](h, **kw)
+        else:
+            for i in range(1, len(blocks)):
+                h = blocks[i](h, **kw)
+        return h
+
+    def __call__(self, motion, timesteps, motion_mask=None, motion_length=None,
+                 xf_out=None, xf_proj=None, num_intervals: int = 1, cond_type=None,
+                 c=None, mode: str = "test", train: bool = False, **kwargs):
+        src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
+        h, emb = self.base._embed(motion, timesteps)
+        if self.base.use_text_proj and xf_proj is not None:
+            emb = emb + xf_proj
+        B, T = h.shape[:2]
+        T_out = T * self.patch_size
+        if c is not None:
+            c = self.forward_c(c.astype(h.dtype), h, train=train)
+
+        if mode == "train":
+            if c is not None and self.condition_cfg_enabled:
+                c = c * ((cond_type % 10) > 0).astype(c.dtype)
+            h = self._stack(h, xf_out, emb, src_mask, cond_type, motion_length,
+                            num_intervals, c, train)
+            output = self.base.out(h).reshape(B, T_out, -1)
+        else:
+            all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))],
+                                       axis=0)
+            rep = lambda a: jnp.concatenate([a, a], axis=0)
+            h2, xf2, emb2 = rep(h), rep(xf_out), rep(emb)
+            mask2, ml2 = rep(src_mask), rep(motion_length)
+            c2 = None
+            if c is not None:
+                c2 = rep(c)
+                if self.condition_cfg_enabled:
+                    c2 = c2 * all_cond.astype(c2.dtype)
+            h2 = self._stack(h2, xf2, emb2, mask2, all_cond, ml2, num_intervals,
+                             c2, False)
+            out = self.base.out(h2).reshape(2 * B, T_out, -1)
+            text_coef, none_coef = self.base.scale_func(timesteps[0])
+            output = out[:B] * text_coef + out[B:] * none_coef
+        if self.base.use_residual_connection:
+            output = motion + output
+        return output
+
+    def init_all(self, motion, timesteps, motion_mask, motion_length, text_ids,
+                 c=None, num_intervals: int = 1, **kwargs):
+        xf_out = self.encode_text(text_ids)
+        return self(motion, timesteps, motion_mask=motion_mask,
+                    motion_length=motion_length, xf_out=xf_out, c=c,
+                    num_intervals=num_intervals, mode="test")
+
+
+def init_control_blocks_from_base(params: dict, copy_blocks_num: int) -> dict:
+    """Copy base decoder-layer weights into the control branch's copied blocks
+    (the reference does this with load_state_dict at construction,
+    controlnet.py:36-38)."""
+    import copy as _copy
+    params = jax.tree_util.tree_map(lambda x: x, dict(params))  # shallow-ish copy
+    for i in range(copy_blocks_num):
+        src = params["base_model"][f"block_{i}"]
+        params[f"controlnet_{i}"]["copied_block"] = _copy.deepcopy(src)
+    return params
+
+
+def controlnet_frozen_prefixes(joint_embed_unfreeze: bool = True,
+                               unfreeze_mode: str = "all") -> List[str]:
+    """Optimizer-mask prefixes implementing the reference's set_requires_grad
+    dance (controlnet.py:125-148): freeze base text towers, time embed,
+    decoder blocks, sequence embedding; optionally unfreeze joint embed/out
+    (fully or per body part)."""
+    frozen = ["base_model/text_enc", "base_model/time_embed",
+              "base_model/sequence_embedding"]
+    frozen += [f"base_model/block_"]  # all base decoder layers
+    if not joint_embed_unfreeze:
+        frozen += ["base_model/joint_embed", "base_model/out"]
+    elif unfreeze_mode != "all":
+        # selective: freeze everything except the named part's embed/out heads
+        part = unfreeze_mode  # e.g. 'face', 'lhand'
+        frozen += [f"base_model/joint_embed/{p}_embed"
+                   for p in ("head", "stem", "larm", "rarm", "lleg", "rleg",
+                             "root", "trans", "face", "lhand", "rhand", "body")
+                   if not p.startswith(part)]
+        frozen += [f"base_model/out/{p}_out"
+                   for p in ("head", "stem", "larm", "rarm", "lleg", "rleg",
+                             "root", "trans", "face", "lhand", "rhand", "body")
+                   if not p.startswith(part)]
+    return frozen
+
+
+@SUBMODULES.register_module()
+class ControlT2MHalfMCM(ControlT2MHalf):
+    """MCM-based ControlNet (controlnet_mcm.py): same scheme over
+    MCMTransformer blocks."""
+
+    block_type: str = "mcm"
