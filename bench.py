@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--quick", action="store_true", help="small model + batch smoke run")
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
+                    help="denoiser compute dtype (diffusion math stays f32)")
     args = ap.parse_args()
 
     from motioncraft_tpu.apis import (build_flagship, flagship_t2m_cfg, make_text_batch,
@@ -44,10 +45,20 @@ def main():
     batch = make_text_batch(texts, max_seq_len=T)
     rng = jax.random.PRNGKey(0)
     print(f"bench: init {('tiny' if args.quick else '0.125B')} model, "
-          f"B={B} T={T} on {jax.devices()[0].platform}", file=sys.stderr)
+          f"B={B} T={T} dtype={args.dtype} on {jax.devices()[0].platform}",
+          file=sys.stderr)
     variables = arch.init(rng, batch)
 
-    sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r))
+    compute_dtype = None
+    if args.dtype == "bf16":
+        compute_dtype = jnp.bfloat16
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+            variables)
+
+    sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
+                                                     compute_dtype=compute_dtype))
 
     # warmup / compile
     t0 = time.time()

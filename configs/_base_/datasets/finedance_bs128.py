@@ -1,0 +1,23 @@
+# FineDance music-dance data (reference configs/_base_/datasets/finedance_bs128.py)
+data_keys = ['motion', 'motion_mask', 'motion_length']
+meta_keys = ['text']
+music_train_pipeline = [
+    dict(type='Normalize',
+         mean_path='./data/datasets/finedance/mean.npy',
+         std_path='./data/datasets/finedance/std.npy'),
+    dict(type='ContrlCrop', crop_size=196, stride=30),
+    dict(type='ToTensor', keys=data_keys[:2]),
+    dict(type='Collect', keys=data_keys, meta_keys=meta_keys),
+]
+data = dict(
+    samples_per_gpu=128,
+    workers_per_gpu=1,
+    train=dict(type='FinedanceMotionDataset', dataset_name='finedance',
+               data_prefix='./data', pipeline=music_train_pipeline,
+               ann_file='train.txt', motion_dir='motion_fea163',
+               text_dir='label_json', datasplit='cross_genre', music_dir='music_npy'),
+    test=dict(type='FinedanceMotionDataset', dataset_name='finedance',
+              data_prefix='./data', pipeline=music_train_pipeline,
+              ann_file='test.txt', motion_dir='motion_fea163',
+              text_dir='label_json', datasplit='cross_genre', music_dir='music_npy'),
+)

@@ -92,6 +92,10 @@ def train_model(arch,
             t0 = time.time()
             for batch in dataloader:
                 rng, step_rng = jax.random.split(rng)
+                # keep only numeric arrays (metas/strings stay on host)
+                batch = {k: v for k, v in batch.items()
+                         if hasattr(v, "dtype") and np.issubdtype(np.asarray(v).dtype,
+                                                                  np.number)}
                 batch = shard_batch(batch, mesh)
                 state, logs = step_fn(state, batch, step_rng)
                 global_step += 1

@@ -119,6 +119,39 @@ def parse_textgrid_words(path: str) -> List[tuple]:
     return out
 
 
+def load_recordings(args: SimpleNamespace, split: str = "test"):
+    """Full-length recordings of a split (for windowed long-form eval):
+    yields dicts with pose/facial/trans [T,*], audio [T*spf, 2], words, name."""
+    ds = Beat2WindowDataset.__new__(Beat2WindowDataset)
+    ds.args, ds.split = args, split
+    fps = args.pose_fps
+    spf = args.audio_sr // fps
+    out = []
+    for name in ds._split_recordings():
+        pose_file = os.path.join(args.data_path, args.pose_rep, name + ".npz")
+        if not os.path.isfile(pose_file):
+            continue
+        data = np.load(pose_file, allow_pickle=True)
+        rec = {"name": name,
+               "pose": np.asarray(data["poses"], np.float32),
+               "facial": np.asarray(data["expressions"], np.float32),
+               "trans": np.asarray(data["trans"], np.float32)}
+        T = len(rec["pose"])
+        wav_file = os.path.join(args.data_path, "wave16k", name + ".wav")
+        if os.path.isfile(wav_file):
+            sr, wav = read_wav(wav_file)
+            rec["wav"] = wav
+            rec["audio"] = onset_amplitude(wav, sr)[: T * spf]
+        else:
+            rec["wav"] = np.zeros(T * spf, np.float32)
+            rec["audio"] = np.zeros((T * spf, 2), np.float32)
+        tg = parse_textgrid_words(
+            os.path.join(args.data_path, "textgrid", name + ".TextGrid"))
+        rec["word_spans"] = tg
+        out.append(rec)
+    return out
+
+
 class Beat2WindowDataset:
     """Stride-window view over BEAT2 recordings with an npz cache."""
 

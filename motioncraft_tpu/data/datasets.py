@@ -108,8 +108,10 @@ class BaseMotionDataset:
         (base_dataset.py:120-132 — the alignment is load-bearing for FID)."""
         if results[0]["pred_motion"].shape[-1] == 322:
             for r in results:
-                r["pred_motion"][:, 156:309] = r["motion"][:, 156:309]
-                r["pred_motion"][:, 312:] = r["motion"][:, 312:]
+                pred = np.array(r["pred_motion"])  # ensure writable host copy
+                pred[:, 156:309] = r["motion"][:, 156:309]
+                pred[:, 312:] = r["motion"][:, 312:]
+                r["pred_motion"] = pred
         metrics = {}
         for evaluator in self.evaluators:
             metrics.update(evaluator.evaluate(results))

@@ -53,7 +53,10 @@ def collate(samples: List[dict], tokenize_text: bool = True) -> Dict:
         if key == "motion_metas":
             continue
         vals = [s[key] for s in samples]
-        if isinstance(first[key], np.ndarray) or np.isscalar(first[key]):
+        is_numeric = ((isinstance(first[key], np.ndarray)
+                       and np.issubdtype(np.asarray(first[key]).dtype, np.number))
+                      or (np.isscalar(first[key]) and not isinstance(first[key], str)))
+        if is_numeric:
             batch[key] = np.stack([np.asarray(v) for v in vals])
         else:
             batch[key] = vals

@@ -194,7 +194,8 @@ class MotionDiffusion:
                outpainting: Optional[Outpainting] = None,
                pre_seq: Optional[jnp.ndarray] = None,
                inference_type: Optional[str] = None,
-               extra_model_kwargs: Optional[dict] = None):
+               extra_model_kwargs: Optional[dict] = None,
+               compute_dtype=None):
         """Pure sampling function: noise -> motion (diffusion_architecture.py:163-204)."""
         motion = batch["motion"].astype(jnp.float32)
         B, T, D = motion.shape
@@ -212,12 +213,20 @@ class MotionDiffusion:
             xf_proj, xf_out = enc if isinstance(enc, tuple) else (None, enc)
 
         extra = extra_model_kwargs or {}
+        if compute_dtype is not None:
+            # bf16 inference: the denoiser runs in low precision, the diffusion
+            # update (schedule math, noise mixing) stays f32
+            xf_out = jax.tree_util.tree_map(
+                lambda a: a.astype(compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                xf_out)
 
         def model_fn(x, t_model):
-            return self.model.apply(
-                variables, x, t_model, motion_mask=motion_mask,
+            xin = x.astype(compute_dtype) if compute_dtype is not None else x
+            out = self.model.apply(
+                variables, xin, t_model, motion_mask=motion_mask,
                 motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,
                 num_intervals=num_intervals, c=batch.get("c"), mode="test", **extra)
+            return out.astype(jnp.float32)
 
         r_noise, r_loop = jax.random.split(rng)
         noise = jax.random.normal(r_noise, (B, T, D), jnp.float32)

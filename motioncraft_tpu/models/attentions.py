@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.linear_attention import linear_attention_core
+from ..ops.pallas_attention import linear_attention
 from ..registry import ATTENTIONS
 from .blocks import StylizationBlock
 from .moe import MOE
@@ -48,12 +49,10 @@ class EfficientSelfAttention(nn.Module):
         B, T, D = x.shape
         H = self.num_heads
         xn = nn.LayerNorm(name="norm")(x)
-        query = nn.Dense(D, name="query")(xn)
-        key = nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
-        query = jax.nn.softmax(query.reshape(B, T, H, -1), axis=-1)
-        key = jax.nn.softmax(key.reshape(B, T, H, -1), axis=1)
+        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = (nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF).reshape(B, T, H, -1)
         value = (nn.Dense(D, name="value")(xn) * src_mask).reshape(B, T, H, -1)
-        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        y = linear_attention(query, key, value).reshape(B, T, D)
         if self.time_embed_dim is None:
             return x + y
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
@@ -75,16 +74,16 @@ class EfficientCrossAttention(nn.Module):
         H = self.num_heads
         xn = nn.LayerNorm(name="norm")(x)
         tn = nn.LayerNorm(name="text_norm")(xf)
-        query = jax.nn.softmax(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
+        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(tn)
         if cond_type is None:
-            key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+            key = key.reshape(B, N, H, -1)
             value = nn.Dense(D, name="value")(tn).reshape(B, N, H, -1)
         else:
             tc = _text_cond_mask(cond_type, B)
-            key = jax.nn.softmax((key + (1 - tc) * NEG_INF).reshape(B, N, H, -1), axis=1)
+            key = (key + (1 - tc) * NEG_INF).reshape(B, N, H, -1)
             value = nn.Dense(D, name="value")(tn * tc).reshape(B, N, H, -1)
-        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        y = linear_attention(query, key, value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                     name="proj_out")(y, emb, train=train)
 
@@ -111,14 +110,18 @@ class EfficientMixedAttention(nn.Module):
             nn.Dense(D, name="key_text")(tn) + (1 - tc) * NEG_INF,
             nn.Dense(D, name="key_motion")(xn) + (1 - sm) * NEG_INF,
         ], axis=1)
-        query = jax.nn.softmax(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
-        key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
-        key = nn.Dropout(self.dropout)(key, deterministic=not train)
+        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         value = jnp.concatenate([
             nn.Dense(D, name="value_text")(tn) * tc,
             nn.Dense(D, name="value_motion")(xn) * sm,
         ], axis=1).reshape(B, N, H, -1)
-        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        if train and self.dropout > 0:
+            q_soft = jax.nn.softmax(query, axis=-1)
+            k_soft = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
+            k_soft = nn.Dropout(self.dropout)(k_soft, deterministic=False)
+            y = linear_attention_core(q_soft, k_soft, value).reshape(B, T, D)
+        else:
+            y = linear_attention(query, key.reshape(B, N, H, -1), value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                     name="proj_out")(y, emb, train=train)
 
@@ -296,7 +299,7 @@ class STMA(nn.Module):
         if self.num_text_heads == 1:
             key_text = jnp.broadcast_to(key_text, (B, key_text.shape[1], H, L))
         key_motion = motion_feat[:, :, :, L:2 * L] + (1 - src_mask) * NEG_INF
-        key = jax.nn.softmax(jnp.concatenate([key_text, key_motion], axis=1), axis=1)
+        key = jnp.concatenate([key_text, key_motion], axis=1)
 
         value_text = text_feat[:, :, :, L:] * text_cond_type
         if self.num_text_heads == 1:
@@ -304,8 +307,8 @@ class STMA(nn.Module):
         value_motion = motion_feat[:, :, :, 2 * L:3 * L] * src_mask
         value = jnp.concatenate([value_text, value_motion], axis=1)
 
-        query = jax.nn.softmax(motion_feat[:, :, :, 3 * L:], axis=-1)
-        y_t = linear_attention_core(query, key, value).reshape(B, T, D)
+        query = motion_feat[:, :, :, 3 * L:]
+        y_t = linear_attention(query, key, value).reshape(B, T, D)
         y = xh.reshape(B, T, D) + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                                    name="proj_out")(body_feat + y_t, emb,
                                                                     train=train)

@@ -1,0 +1,86 @@
+"""Checkpoint save/load/resume with orbax.
+
+Replaces mmcv checkpointing (checkpoint_config interval=1,
+load_checkpoint(map_location='cpu'), runner.resume — SURVEY.md §5): orbax
+handles the device-aware serialization; torch ``.pth`` checkpoints are
+imported through utils/torch_convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _manager(ckpt_dir: str, max_to_keep: Optional[int] = None):
+    import orbax.checkpoint as ocp
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+    return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int,
+                    max_to_keep: Optional[int] = None) -> None:
+    import orbax.checkpoint as ocp
+    mgr = _manager(ckpt_dir, max_to_keep)
+    # tx (the optax transform) is a static aux field and not serializable
+    payload = {"step": int(step),
+               "params": state.params,
+               "opt_state": state.opt_state,
+               "extra_variables": state.extra_variables or {}}
+    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.wait_until_finished()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    return mgr.latest_step()
+
+
+def load_checkpoint(ckpt_dir: str, state: Any, step: Optional[int] = None):
+    """Restore a TrainState saved by save_checkpoint; shapes from `state`."""
+    import orbax.checkpoint as ocp
+    mgr = _manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under {ckpt_dir}")
+    template = {"step": 0, "params": state.params, "opt_state": state.opt_state,
+                "extra_variables": state.extra_variables or {}}
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return state.replace(step=restored["step"], params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         extra_variables=restored["extra_variables"] or None)
+
+
+def save_params(path: str, variables: Any) -> None:
+    """Flat-file param snapshot (.npz of flattened paths) — light-weight
+    interchange for eval/visualize tools."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(jax.device_get(node))
+
+    walk("", variables)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> dict:
+    data = np.load(path, allow_pickle=False)
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree

@@ -252,3 +252,138 @@ def remap_controlnet_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             k = k[:idx] + "base_block." + k[idx:]
         out[k] = v
     return out
+
+
+# ----------------------------------------------------------------- STMoGen
+def t_stylization(sd, prefix):
+    """StylizationBlock: emb_layers(Sequential[SiLU, Linear]), norm,
+    out_layers(Sequential[SiLU, Dropout, Linear])."""
+    return {
+        "emb_layers": t_linear(sd, _k(prefix, "emb_layers.1")),
+        "norm": t_layernorm(sd, _k(prefix, "norm")),
+        "out_layers": {"linear": t_linear(sd, _k(prefix, "out_layers.2"))},
+    }
+
+
+def t_moe(sd, prefix, num_heads_unused=None):
+    """Reference MOE wrapper + tutel moe_layer -> our MOE/MoELayer tree.
+
+    tutel parameter names: gates.0.{cosine_projector.{weight,bias}, sim_matrix,
+    temperature} (CosineTopKGate) or gates.0.wg.weight (LinearTopKGate);
+    experts.batched_fc1_w [E, D, F], batched_fc2_w [E, F, D],
+    batched_fc1_bias / batched_fc2_bias (possibly [E, 1, *])."""
+    g = lambda n: _k(prefix, n)
+    out = {"embedding": sd[g("embedding")],
+           "proj": t_linear(sd, g("proj"))}
+    gate_prefix = g("model.gates.0")
+    if f"{gate_prefix}.sim_matrix" in sd:
+        gate = {"cosine_projector": t_linear(sd, f"{gate_prefix}.cosine_projector"),
+                "sim_matrix": sd[f"{gate_prefix}.sim_matrix"],
+                "temperature": sd[f"{gate_prefix}.temperature"].reshape(1)}
+    else:
+        gate = {"wg": {"kernel": sd[f"{gate_prefix}.wg.weight"].T}}
+    b1 = sd[g("model.experts.batched_fc1_bias")]
+    b2 = sd[g("model.experts.batched_fc2_bias")]
+    out["model"] = {
+        "gate": gate,
+        "expert_w1": sd[g("model.experts.batched_fc1_w")],
+        "expert_b1": b1.reshape(b1.shape[0], -1),
+        "expert_w2": sd[g("model.experts.batched_fc2_w")],
+        "expert_b2": b2.reshape(b2.shape[0], -1),
+    }
+    return out
+
+
+def t_stma(sd, prefix):
+    """STMA attention params (st_attention.py:64-179)."""
+    g = lambda n: _k(prefix, n)
+    out = {
+        "norm": t_layernorm(sd, g("norm")),
+        "text_norm": t_layernorm(sd, g("text_norm")),
+        "text_moe": t_moe(sd, g("text_moe")),
+        "motion_moe": t_moe(sd, g("motion_moe")),
+        "body_weight": sd[g("body_weight")],
+        "proj_out": t_stylization(sd, g("proj_out")),
+    }
+    if f"{g('body_d_attn')}.query.weight" in sd:
+        out["body_d_attn"] = {
+            "norm": t_layernorm(sd, g("body_d_attn.norm")),
+            "query": t_linear(sd, g("body_d_attn.query")),
+            "key": t_linear(sd, g("body_d_attn.key")),
+            "value": t_linear(sd, g("body_d_attn.value")),
+        }
+    return out
+
+
+def t_sffn(sd, prefix, num_heads):
+    """SFFN per-head Linear lists -> stacked [H, d, f] einsum weights."""
+    g = lambda n: _k(prefix, n)
+    w1 = np.stack([sd[g(f"linear1_list.{i}.weight")].T for i in range(num_heads)])
+    b1 = np.stack([sd[g(f"linear1_list.{i}.bias")] for i in range(num_heads)])
+    w2 = np.stack([sd[g(f"linear2_list.{i}.weight")].T for i in range(num_heads)])
+    b2 = np.stack([sd[g(f"linear2_list.{i}.bias")] for i in range(num_heads)])
+    return {"w1": w1, "b1": b1, "w2": w2, "b2": b2,
+            "proj_out": t_stylization(sd, g("proj_out"))}
+
+
+def t_pose_io(sd, prefix, suffix):
+    """PoseEncoder/Decoder: one Linear (or PatchEmbed conv) per body part."""
+    parts = {}
+    for name in ("head", "stem", "larm", "rarm", "lleg", "rleg", "root",
+                 "trans", "face", "lhand", "rhand", "body"):
+        key = _k(prefix, f"{name}_{suffix}")
+        if f"{key}.weight" in sd:
+            parts[f"{name}_{suffix}"] = t_linear(sd, key)
+        elif f"{key}.proj.weight" in sd:  # PatchEmbed1D
+            parts[f"{name}_{suffix}"] = {"proj": t_conv1d(sd, f"{key}.proj")}
+    return parts
+
+
+def convert_stmogen(sd: Dict[str, np.ndarray], num_layers: int,
+                    num_heads: int, text_num_layers: int = 2,
+                    clip_layers: int = 12) -> dict:
+    """Full STMoGenTransformer checkpoint -> flax param tree.
+
+    Accepts the released mmcv checkpoints ('model.' prefixed keys from
+    MotionDiffusion) after remap_controlnet_keys when a control branch is
+    present."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    out: dict = {
+        "sequence_embedding": sd["sequence_embedding"],
+        "time_embed": {"layers_0": t_linear(sd, "time_embed.0"),
+                       "layers_2": t_linear(sd, "time_embed.2")},
+        "joint_embed": t_pose_io(sd, "joint_embed", "embed"),
+        "out": t_pose_io(sd, "out", "out"),
+    }
+    text = {"text_ln": t_layernorm(sd, "text_ln")}
+    if "text_pre_proj.weight" in sd:
+        text["text_pre_proj"] = t_linear(sd, "text_pre_proj")
+    for i in range(text_num_layers):
+        text[f"textTransEncoder_{i}"] = t_postln_layer(sd, f"textTransEncoder.layers.{i}")
+    if "clip.token_embedding.weight" in sd:
+        clip_sd = {k[len("clip."):]: v for k, v in sd.items() if k.startswith("clip.")}
+        text["clip"] = convert_clip_text(clip_sd, clip_layers)
+    out["text_enc"] = text
+
+    for i in range(num_layers):
+        p = f"temporal_decoder_blocks.{i}"
+        out[f"block_{i}"] = {
+            "ca_block": t_stma(sd, f"{p}.ca_block"),
+            "ffn": t_sffn(sd, f"{p}.ffn", num_heads),
+        }
+    return out
+
+
+def load_stmogen_ckpt(path: str, variables, num_layers: int, num_heads: int,
+                      text_num_layers: int = 2, clip_layers: int = 12,
+                      strict: bool = True):
+    """Load a released STMoGen .pth into flax variables (shape-checked)."""
+    import flax
+    import jax
+    sd = remap_controlnet_keys(load_torch_state_dict(path))
+    tree = convert_stmogen(sd, num_layers, num_heads, text_num_layers, clip_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables

@@ -1,0 +1,147 @@
+"""Music-to-dance evaluation harness (reference tools/m2d_test.py:91-405).
+
+Per FineDance test track: windowed generation (120-frame windows, 30-frame
+overlap), de-normalize, FID whole-body & hands + Diversity via the SMPL-X
+contrastive evaluator.
+
+Usage:
+  python tools/m2d_test.py configs/stmogen/m2d_finedance_0125b.py \
+      --checkpoint outputs/m2d/params.npz
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--work-dir", default="outputs/m2d_eval")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--no_repaint", action="store_true")
+    p.add_argument("--cfg-options", nargs="*", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+    import motioncraft_tpu.models  # noqa: F401
+    from motioncraft_tpu.apis.windowed import denormalize, windowed_sample
+    from motioncraft_tpu.config import Config, cfg_options_from_args
+    from motioncraft_tpu.diffusion.sampling import RepaintConfig
+    from motioncraft_tpu.eval import build_evaluator_model
+    from motioncraft_tpu.eval.metrics import (calculate_activation_statistics,
+                                              calculate_diversity,
+                                              calculate_frechet_distance)
+    from motioncraft_tpu.models.tokenizer import tokenize
+    from motioncraft_tpu.registry import DATASETS, build_architecture
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(cfg_options_from_args(args.cfg_options))
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    win_cfg = cfg.get("windowed", {})
+    window = win_cfg.get("window", 120)
+    pre = win_cfg.get("pre_frames", 30)
+
+    arch = build_architecture(cfg.model)
+    arch.repaint_cfg = RepaintConfig(overlap_len=pre, no_repaint=args.no_repaint)
+
+    test_cfg = dict(cfg.data["test"])
+    test_cfg.pop("eval_cfg", None)
+    test_cfg["test_mode"] = False
+    dataset = DATASETS.build(test_cfg)
+    norm = dataset.pipeline.transforms[0]  # Normalize
+    mean, std = np.asarray(norm.mean), np.asarray(norm.std)
+
+    variables = None
+    rng = jax.random.PRNGKey(args.seed)
+    preds, gts = [], []
+    t0 = time.time()
+    infos = dataset.data_infos[: args.limit]
+    for ri, info in enumerate(infos):
+        motion = info["motion"]
+        music = info["c"]
+        T = len(motion)
+        text = info["text"][0]
+
+        def make_window_batch(start, end):
+            seg = music[start:end]
+            if len(seg) < end - start:
+                seg = np.pad(seg, ((0, end - start - len(seg)), (0, 0)))
+            return {"motion": jnp.zeros((1, window, 322)),
+                    "motion_mask": jnp.ones((1, window)),
+                    "motion_length": jnp.full((1, 1), window, jnp.int32),
+                    "text_ids": jnp.asarray(tokenize([text])),
+                    "c": jnp.asarray((seg - 0.0).astype(np.float32))[None]}
+
+        if variables is None:
+            variables = arch.init(jax.random.PRNGKey(args.seed),
+                                  make_window_batch(0, window))
+            if args.checkpoint:
+                from motioncraft_tpu.utils.checkpoint import load_params
+                variables = load_params(args.checkpoint)
+
+        rng, sub = jax.random.split(rng)
+        norm_pred = windowed_sample(arch, variables, make_window_batch,
+                                    total_frames=T, window=window, pre_frames=pre,
+                                    rng=sub, use_repaint=not args.no_repaint,
+                                    repaint=arch.repaint_cfg)
+        preds.append(denormalize(norm_pred, mean, std))
+        gts.append(motion)
+        print(f"[{ri + 1}/{len(infos)}] {info.get('name')} T={T} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+    if not preds:
+        print("no FineDance test tracks found")
+        return
+
+    # FID / Diversity in evaluator embedding space over fixed-length chunks
+    ev = build_evaluator_model(cfg.data.get("eval_model") or dict(
+        type="T2MContrastiveModel_SMPLX",
+        motion_encoder=dict(nfeats=322, vae=True, num_layers=4),
+        text_encoder=dict(num_layers=4)))
+
+    def chunk_embed(seqs, dims=None, size=150):
+        chunks = []
+        for s in seqs:
+            s = s.copy()
+            if dims is not None:
+                m = np.zeros_like(s)
+                m[:, dims[0]:dims[1]] = s[:, dims[0]:dims[1]]
+                s = m
+            for i in range(0, len(s) - size + 1, size):
+                chunks.append(s[i:i + size])
+        arr = np.stack(chunks)
+        return np.asarray(ev.encode_motion(arr, np.full(len(arr), size)))
+
+    metrics = {}
+    for name, dims in (("whole", None), ("hands", (66, 156))):
+        pe = chunk_embed(preds, dims)
+        ge = chunk_embed(gts, dims)
+        mu_p, cov_p = calculate_activation_statistics(pe)
+        mu_g, cov_g = calculate_activation_statistics(ge)
+        metrics[f"FID_{name}"] = float(calculate_frechet_distance(mu_g, cov_g, mu_p, cov_p))
+    n_div = min(len(pe) - 1, 300)
+    if n_div > 1:
+        metrics["Diversity"] = float(calculate_diversity(pe, n_div))
+    print(json.dumps(metrics, indent=2))
+    with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

