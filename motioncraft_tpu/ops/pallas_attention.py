@@ -124,10 +124,17 @@ fused_linear_attention.defvjp(_fwd, _bwd)
 
 
 def linear_attention(q_logits, k_logits, value, use_pallas: str = "auto"):
-    """Dispatch: Pallas on TPU, XLA einsum path elsewhere."""
+    """Dispatch: fused Pallas kernel or the XLA einsum path.
+
+    Default "auto" uses Pallas only when MOTIONCRAFT_PALLAS=1 AND the backend
+    is TPU: some AOT/remote-compile TPU environments cannot compile Mosaic
+    kernels, and XLA's fusion of this op is already decent — opt in after
+    validating on the target runtime."""
+    import os
     if use_pallas == "never":
         return _reference(q_logits, k_logits, value)
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas == "always" or (use_pallas == "auto" and on_tpu):
+    enabled = os.environ.get("MOTIONCRAFT_PALLAS", "0") == "1"
+    if use_pallas == "always" or (use_pallas == "auto" and on_tpu and enabled):
         return fused_linear_attention(q_logits, k_logits, value)
     return _reference(q_logits, k_logits, value)
