@@ -222,7 +222,16 @@ class FinedanceMotionDataset(BaseMotionDataset):
         mode = os.path.basename(self.ann_file).split(".")[0]
         train, test, _ = finedance_split(self.datasplit)
         names = train if mode == "train" else test
-        self.data_infos = [self.load_anno(n) for n in names]
+        self.data_infos = []
+        missing = 0
+        for n in names:
+            if not os.path.isfile(os.path.join(self.motion_dir, n + ".npy")):
+                missing += 1
+                continue
+            self.data_infos.append(self.load_anno(n))
+        if missing:
+            print(f"[FinedanceMotionDataset] skipped {missing}/{len(names)} "
+                  f"missing tracks under {self.motion_dir}")
 
     def load_anno(self, name):
         motion = finedance_to_smplx322(

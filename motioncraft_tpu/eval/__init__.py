@@ -1,4 +1,5 @@
 from . import models  # noqa: F401  (register evaluator models)
+from . import s2g_fid  # noqa: F401  (registers VAESKConv)
 from .evaluators import (BaseEvaluator, DiversityEvaluator, FIDEvaluator,
                          MatchingScoreEvaluator, MultiModalityEvaluator,
                          PrecisionEvaluator, build_evaluator, build_evaluator_model)

@@ -39,6 +39,7 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import motioncraft_tpu.models  # noqa: F401
+    import motioncraft_tpu.data  # noqa: F401  (register DATASETS/PIPELINES)
     from motioncraft_tpu.apis.windowed import denormalize, windowed_sample
     from motioncraft_tpu.config import Config, cfg_options_from_args
     from motioncraft_tpu.diffusion.sampling import RepaintConfig
@@ -100,8 +101,9 @@ def main():
                                     total_frames=T, window=window, pre_frames=pre,
                                     rng=sub, use_repaint=not args.no_repaint,
                                     repaint=arch.repaint_cfg)
-        preds.append(denormalize(norm_pred, mean, std))
-        gts.append(motion)
+        pred = denormalize(norm_pred, mean, std)
+        preds.append(pred)
+        gts.append(motion[: len(pred)])
         print(f"[{ri + 1}/{len(infos)}] {info.get('name')} T={T} "
               f"({time.time() - t0:.1f}s)", flush=True)
 
@@ -115,23 +117,31 @@ def main():
         motion_encoder=dict(nfeats=322, vae=True, num_layers=4),
         text_encoder=dict(num_layers=4)))
 
-    def chunk_embed(seqs, dims=None, size=150):
+    def hands_only(s):
+        """Reference hands-FID masking (s2g_test.py:346-360): keep global
+        orient, both hands, and translation; zero body/jaw/face."""
+        m = np.zeros_like(s)
+        m[:, 0:3] = s[:, 0:3]
+        m[:, 66:156] = s[:, 66:156]
+        m[:, 309:312] = s[:, 309:312]
+        return m
+
+    chunk_size = min(150, min(len(p) for p in preds))
+
+    def chunk_embed(seqs, mask_fn=None, size=None):
+        size = size or chunk_size
         chunks = []
         for s in seqs:
-            s = s.copy()
-            if dims is not None:
-                m = np.zeros_like(s)
-                m[:, dims[0]:dims[1]] = s[:, dims[0]:dims[1]]
-                s = m
+            s = mask_fn(s) if mask_fn is not None else s
             for i in range(0, len(s) - size + 1, size):
                 chunks.append(s[i:i + size])
         arr = np.stack(chunks)
         return np.asarray(ev.encode_motion(arr, np.full(len(arr), size)))
 
     metrics = {}
-    for name, dims in (("whole", None), ("hands", (66, 156))):
-        pe = chunk_embed(preds, dims)
-        ge = chunk_embed(gts, dims)
+    for name, mask_fn in (("whole", None), ("hands", hands_only)):
+        pe = chunk_embed(preds, mask_fn)
+        ge = chunk_embed(gts, mask_fn)
         mu_p, cov_p = calculate_activation_statistics(pe)
         mu_g, cov_g = calculate_activation_statistics(ge)
         metrics[f"FID_{name}"] = float(calculate_frechet_distance(mu_g, cov_g, mu_p, cov_p))

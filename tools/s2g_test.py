@@ -46,6 +46,7 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import motioncraft_tpu.models  # noqa: F401
+    import motioncraft_tpu.data  # noqa: F401  (register DATASETS/PIPELINES)
     from motioncraft_tpu.apis.windowed import denormalize, windowed_sample
     from motioncraft_tpu.config import Config, cfg_options_from_args
     from motioncraft_tpu.data.beat2 import load_beat2_args, load_recordings
@@ -88,6 +89,21 @@ def main():
     l1div = L1div()
     beat = BeatAlign(sigma=0.3, order=7)
     l2s, lvds, aligns = [], [], []
+    # FID embedding model (the reference embeds whole sequences with the
+    # SMPL-X contrastive evaluator, s2g_test.py:313-325)
+    from motioncraft_tpu.eval import build_evaluator_model
+    fid_model = build_evaluator_model(cfg.get("eval_model") or dict(
+        type="T2MContrastiveModel_SMPLX",
+        motion_encoder=dict(nfeats=322, vae=True, num_layers=4),
+        text_encoder=dict(num_layers=4)))
+    pred_embs, gt_embs, pred_hand_embs, gt_hand_embs = [], [], [], []
+
+    def hands_only(m322):
+        out = np.zeros_like(m322)
+        out[:, 0:3] = m322[:, 0:3]
+        out[:, 66:156] = m322[:, 66:156]
+        out[:, 309:312] = m322[:, 309:312]
+        return out
     variables = None
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.time()
@@ -128,9 +144,17 @@ def main():
                                     rng=sub, use_repaint=not args.no_repaint,
                                     repaint=arch.repaint_cfg)
         pred322 = denormalize(norm_pred, mean, std)
+        # windows cover num_windows*(window-pre)+pre frames; trim GT to match
+        T = len(pred322)
+        gt322 = gt322[:T]
 
         # metrics
         l1div.run(pred322[:, :66 + 90].copy())
+        for store, seq in ((pred_embs, pred322), (gt_embs, gt322),
+                           (pred_hand_embs, hands_only(pred322)),
+                           (gt_hand_embs, hands_only(gt322))):
+            store.append(np.asarray(fid_model.encode_motion(
+                seq[None], np.asarray([len(seq)]))))
         # FK joints for BeatAlign: 165-d pose layout from 322
         pose165 = np.zeros((T, 165), np.float32)
         pose165[:, :66] = pred322[:, :66]
@@ -146,8 +170,20 @@ def main():
         print(f"[{ri + 1}/{len(recordings)}] {rec['name']}: T={T} "
               f"align={aligns[-1]:.4f} ({time.time() - t0:.1f}s)", flush=True)
 
+    from motioncraft_tpu.eval.metrics import (calculate_activation_statistics,
+                                              calculate_frechet_distance)
+
+    def fid(pred_list, gt_list):
+        pe, ge = np.concatenate(pred_list), np.concatenate(gt_list)
+        mu_p, cov_p = calculate_activation_statistics(pe)
+        mu_g, cov_g = calculate_activation_statistics(ge)
+        return float(calculate_frechet_distance(mu_g, cov_g, mu_p, cov_p))
+
     metrics = {"L1div": l1div.avg(), "BeatAlign": float(np.mean(aligns)),
                "facial_L2": float(np.mean(l2s)), "facial_LVD": float(np.mean(lvds))}
+    if len(pred_embs) > 1:
+        metrics["FID_whole"] = fid(pred_embs, gt_embs)
+        metrics["FID_hands"] = fid(pred_hand_embs, gt_hand_embs)
     print(json.dumps(metrics, indent=2))
     with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)

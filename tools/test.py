@@ -49,6 +49,7 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     import motioncraft_tpu.models  # noqa: F401
+    import motioncraft_tpu.data  # noqa: F401  (register DATASETS/PIPELINES)
     from motioncraft_tpu.config import Config, cfg_options_from_args
     from motioncraft_tpu.data import build_dataloader
     from motioncraft_tpu.registry import DATASETS, build_architecture

@@ -45,6 +45,7 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import motioncraft_tpu.models  # noqa: F401
+    import motioncraft_tpu.data  # noqa: F401  (register DATASETS/PIPELINES)
     from motioncraft_tpu.config import Config, cfg_options_from_args
     from motioncraft_tpu.data import build_dataloader
     from motioncraft_tpu.apis.train import train_model
