@@ -61,7 +61,9 @@ def train_model(arch,
                 checkpoint_fn: Optional[Callable] = None,
                 eval_fn: Optional[Callable] = None,
                 init_state: Optional[TrainState] = None,
-                frozen_prefixes=("text_enc/clip",)):
+                frozen_prefixes=("text_enc/clip",),
+                resume_dir: Optional[str] = None,
+                variables_transform: Optional[Callable] = None):
     """Config-driven loop: Adam + step decay, per-epoch checkpoint/eval hooks
     (reference recipe at configs/stmogen/...0_125b.py:13-24)."""
     rng = set_random_seed(seed)
@@ -71,6 +73,8 @@ def train_model(arch,
     if init_state is None:
         rng, init_rng = jax.random.split(rng)
         variables = arch.init(init_rng, first)
+        if variables_transform is not None:
+            variables = variables_transform(variables)
         schedule = build_lr_schedule((optimizer_cfg or {}).get("lr", 2e-4), lr_config,
                                      steps_per_epoch or 1)
         state = create_train_state(variables["params"], optimizer_cfg or {"type": "Adam"},
@@ -80,6 +84,16 @@ def train_model(arch,
     else:
         state = init_state
 
+    start_epoch = 0
+    if resume_dir is not None:
+        from ..utils.checkpoint import latest_step, load_checkpoint
+        step = latest_step(resume_dir)
+        if step is not None:
+            state = load_checkpoint(resume_dir, state, step)
+            start_epoch = step + 1
+            log = logger or (lambda m: print(m, flush=True))
+            log(f"resumed from {resume_dir} at epoch {step}")
+
     step_fn = jax.jit(make_train_step(arch),
                       in_shardings=(replicated(mesh),
                                     batch_sharding(mesh), replicated(mesh)),
@@ -88,7 +102,7 @@ def train_model(arch,
     log = logger or (lambda msg: print(msg, flush=True))
     global_step = 0
     with jax.set_mesh(mesh):
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             for batch in dataloader:
                 rng, step_rng = jax.random.split(rng)

@@ -112,22 +112,27 @@ class MoELayer(nn.Module):
         capacity = K * int(self.capacity_factor * ((N + E - 1) // E))
         capacity = max(1, min(capacity, N))
 
-        # slot assignment order: by descending top-1 score when batch-prioritized
-        if self.batch_prioritized:
+        # Slot assignment order: by descending top-1 score when
+        # batch-prioritized.  The order only decides WHICH tokens drop on
+        # capacity overflow, so the (expensive) argsort over all tokens is
+        # skipped at inference — arrival order is used instead, matching
+        # Tutel's behavior up to the overflow tie-break.
+        prioritize = self.batch_prioritized and train
+        if prioritize:
             order = jnp.argsort(-topk_scores[:, 0])
-        else:
-            order = jnp.arange(N)
-        inv_order = jnp.argsort(order)
+            inv_order = jnp.argsort(order)
 
         # GShard-style position computation, sequential over the K choices
         onehots = jax.nn.one_hot(topk_idx, E, dtype=jnp.int32)  # [N, K, E]
-        onehots_sorted = onehots[order]
+        onehots_sorted = onehots[order] if prioritize else onehots
         prev_counts = jnp.zeros((E,), jnp.int32)
         positions = []
         for k in range(K):
             m = onehots_sorted[:, k, :]  # [N, E]
             pos_sorted = (jnp.cumsum(m, axis=0) - 1 + prev_counts[None, :])
-            pos_k = (pos_sorted * m).sum(axis=1)[inv_order]  # [N]
+            pos_k = (pos_sorted * m).sum(axis=1)
+            if prioritize:
+                pos_k = pos_k[inv_order]
             positions.append(pos_k)
             prev_counts = prev_counts + m.sum(axis=0)
         positions = jnp.stack(positions, axis=1)  # [N, K]

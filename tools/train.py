@@ -85,6 +85,43 @@ def main():
         save_params(os.path.join(work_dir, "params.npz"), {"params": state.params})
         logger.info(f"saved checkpoint at epoch {epoch}")
 
+    variables_transform = None
+    if args.base_checkpoint:
+        from motioncraft_tpu.models.controlnet import init_control_blocks_from_base
+        from motioncraft_tpu.utils.checkpoint import load_params
+        import flax
+        import jax as _jax
+        import numpy as _np
+
+        def variables_transform(variables):
+            """Load the pretrained base into base_model/* and copy the first
+            k blocks into the control branch (the reference's ControlNet
+            training setup)."""
+            base = load_params(args.base_checkpoint)["params"]
+            variables = flax.core.unfreeze(variables)
+            params = _jax.tree_util.tree_map(_np.asarray, variables["params"])
+            if "base_model" in params:
+                params["base_model"] = base
+                params = init_control_blocks_from_base(
+                    params, cfg.model["model"].get("copy_blocks_num", 2))
+            else:
+                params = base
+            variables["params"] = params
+            logger.info(f"loaded base checkpoint {args.base_checkpoint}")
+            return variables
+
+    eval_fn = None
+    if cfg.get("evaluation") and cfg.data.get("test"):
+        from motioncraft_tpu.apis.eval_hook import EvalHook
+        from motioncraft_tpu.registry import DATASETS
+        ev = dict(cfg["evaluation"])
+        eval_fn = EvalHook(DATASETS.build(cfg.data["test"]), arch,
+                           batch_size=ev.get("batch_size", 32),
+                           interval=ev.get("interval", 1),
+                           limit=ev.get("limit"),
+                           save_best=ev.get("save_best"),
+                           work_dir=work_dir, logger=logger.info)
+
     max_epochs = args.max_epochs or cfg.get("runner", {}).get("max_epochs", 1)
     state = train_model(
         arch, loader,
@@ -97,7 +134,10 @@ def main():
         log_interval=cfg.get("log_config", {}).get("interval", 50),
         logger=logger.info,
         checkpoint_fn=checkpoint_fn,
-        frozen_prefixes=frozen)
+        eval_fn=eval_fn,
+        frozen_prefixes=frozen,
+        resume_dir=ckpt_dir if args.resume else None,
+        variables_transform=variables_transform)
     logger.info(f"training done at step {int(state.step)}")
 
 
