@@ -183,6 +183,11 @@ class ControlT2MHalf(nn.Module):
             h = self._stack(h, xf_out, emb, src_mask, cond_type, motion_length,
                             num_intervals, c, train)
             output = self.base.out(h).reshape(B, T_out, -1)
+        elif self.block_type == "mcm":
+            # MCM ControlNet runs without CFG at test (controlnet_mcm.py:306-)
+            h = self._stack(h, xf_out, emb, src_mask, None, motion_length,
+                            num_intervals, c, False)
+            output = self.base.out(h).reshape(B, T_out, -1)
         else:
             all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))],
                                        axis=0)
@@ -205,10 +210,11 @@ class ControlT2MHalf(nn.Module):
 
     def init_all(self, motion, timesteps, motion_mask, motion_length, text_ids,
                  c=None, num_intervals: int = 1, **kwargs):
-        xf_out = self.encode_text(text_ids)
+        enc = self.encode_text(text_ids)
+        xf_proj, xf_out = enc if isinstance(enc, tuple) else (None, enc)
         return self(motion, timesteps, motion_mask=motion_mask,
-                    motion_length=motion_length, xf_out=xf_out, c=c,
-                    num_intervals=num_intervals, mode="test")
+                    motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,
+                    c=c, num_intervals=num_intervals, mode="test")
 
 
 def init_control_blocks_from_base(params: dict, copy_blocks_num: int) -> dict:
