@@ -147,9 +147,17 @@ class MoELayer(nn.Module):
         # are unique by construction, the extra row is the overflow dump.
         slots = topk_idx * capacity + positions  # [N, K]
         slots = jnp.where(valid, slots, E * capacity)
-        flat_x = jnp.broadcast_to(x[:, None, :], (N, K, D)).reshape(N * K, D)
-        xe_flat = jnp.zeros((E * capacity + 1, D), x.dtype).at[slots.reshape(-1)].set(flat_x)
-        xe = xe_flat[:-1].reshape(E, capacity, D)
+        # scalar-index scatter (token id per slot) + row gather: 128x less
+        # scatter traffic than scattering the feature rows directly, and the
+        # heavy data movement becomes a TPU-friendly gather
+        token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                                     (N, K)).reshape(-1)
+        token_for_slot = jnp.zeros((E * capacity + 1,), jnp.int32).at[
+            slots.reshape(-1)].set(token_ids)
+        slot_filled = jnp.zeros((E * capacity + 1,), jnp.bool_).at[
+            slots.reshape(-1)].set(True)
+        xe_flat = jnp.where(slot_filled[:-1, None], x[token_for_slot[:-1]], 0)
+        xe = xe_flat.reshape(E, capacity, D)
 
         # expert FFN: batched matmuls over the expert axis
         w1 = self.param("expert_w1", nn.initializers.lecun_normal(), (E, D, self.hidden_dim))

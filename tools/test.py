@@ -87,34 +87,12 @@ def main():
         elif args.checkpoint:
             from motioncraft_tpu.utils.checkpoint import load_params
             variables = load_params(args.checkpoint)
-        sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r))
 
-    rng = jax.random.PRNGKey(args.seed)
-    results = []
+    from motioncraft_tpu.apis.test import single_device_test
     t0 = time.time()
-    for i, batch in enumerate(loader):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if isinstance(v, np.ndarray)
-                  and np.issubdtype(v.dtype, np.number)}
-        if arch.inference_type == "gt":
-            pred = jbatch["motion"]
-        else:
-            if jbatch["motion"].shape[0] != bs:
-                # pad the ragged tail to the compiled batch size
-                pad = bs - jbatch["motion"].shape[0]
-                jbatch = {k: (jnp.concatenate([v] + [v[-1:]] * pad) if hasattr(v, "ndim")
-                              else v) for k, v in jbatch.items()}
-            rng, sub = jax.random.split(rng)
-            pred = sample_jit(variables, jbatch, sub)
-        n = len(batch["motion_metas"])
-        res = dict(batch)
-        res["pred_motion"] = np.asarray(pred)[:n]
-        results.extend(arch.split_results(res))
-        if (i + 1) % 10 == 0:
-            print(f"  {len(results)} samples in {time.time() - t0:.1f}s", flush=True)
-        if args.limit and len(results) >= args.limit:
-            break
-
+    results = single_device_test(arch, variables, loader, seed=args.seed,
+                                 limit=args.limit,
+                                 logger=lambda m: print("  " + m, flush=True))
     print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
     metrics = dataset.evaluate(results[:args.limit] if args.limit else results,
                                args.work_dir)
