@@ -63,9 +63,13 @@ def read_wav(path: str):
 def onset_amplitude(wav: np.ndarray, sr: int = 16000) -> np.ndarray:
     """[L] float audio -> [L, 2] (amplitude envelope, onset impulses).
 
-    Uses librosa when available (matching the reference); otherwise a numpy
-    spectral-flux onset detector with identical output shape/semantics.
+    Fast path: the native C++ spectral-flux extractor (native/audio_features);
+    then librosa (matching the reference); then the numpy fallback.
     """
+    from .native import onset_amplitude_native
+    native = onset_amplitude_native(np.asarray(wav, np.float32))
+    if native is not None:
+        return native
     L = len(wav)
     try:
         import librosa

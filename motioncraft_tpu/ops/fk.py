@@ -122,3 +122,40 @@ def rigid_transform(rot_mats: jnp.ndarray, joints: jnp.ndarray,
         Rs.append(Rs[p] @ rot_mats[:, i])
         ts.append(ts[p] + jnp.einsum("nij,nj->ni", Rs[p], rel[:, i]))
     return jnp.stack(ts, axis=1)
+
+
+# SMPL 24-joint body (subset tree used by the dance tooling, vis.py:402-476)
+SMPL_PARENTS = SMPLX_PARENTS[:22]  # pelvis..wrists share the SMPL-X tree
+
+
+class SMPLSkeleton:
+    """24-joint SMPL FK over axis-angle pose [N, 72] (wrists as end effectors
+    here: joints 22/23 (hands) are approximated by the wrist frames)."""
+
+    def __init__(self, rest_joints_path: Optional[str] = None):
+        full = load_rest_joints(rest_joints_path)
+        self.rest_joints = jnp.asarray(full[:22])
+        self.parents = SMPL_PARENTS
+
+    def forward(self, rotations: jnp.ndarray, root_positions: jnp.ndarray) -> jnp.ndarray:
+        N = rotations.shape[0]
+        rot = rotations[:, :66].reshape(N, 22, 3)
+        from .rotation import axis_angle_to_matrix
+        mats = axis_angle_to_matrix(rot)
+        return rigid_transform(mats, jnp.broadcast_to(self.rest_joints, (N, 22, 3)),
+                               self.parents) + root_positions[:, None, :]
+
+    __call__ = forward
+
+
+def mean_max_velocity(joint_sequences, pose_fps: int = 30) -> float:
+    """Dataset-level mean of per-sequence max joint speeds — the ``mmae``
+    normalizer for BeatAlign motion beats (EMAGE beat loader :123-205)."""
+    import numpy as _np
+    maxes = []
+    for joints in joint_sequences:
+        joints = _np.asarray(joints)
+        vel = _np.linalg.norm(_np.diff(joints, axis=0) * pose_fps, axis=-1)
+        if vel.size:
+            maxes.append(vel.max())
+    return float(_np.mean(maxes)) if maxes else 1.0
