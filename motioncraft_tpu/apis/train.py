@@ -41,6 +41,9 @@ def make_train_step(arch) -> Callable:
         new_state = state.apply_gradients(grads)
         scalars = {k: v for k, v in logs.items()
                    if hasattr(v, "ndim") and v.ndim == 0}
+        # per-sample vectors for the loss-aware timestep sampler
+        scalars["_timesteps"] = logs.get("timesteps")
+        scalars["_loss_batch"] = logs.get("recon_loss_batch")
         return new_state, scalars
 
     return train_step
@@ -112,9 +115,16 @@ def train_model(arch,
                                                                   np.number)}
                 batch = shard_batch(batch, mesh)
                 state, logs = step_fn(state, batch, step_rng)
+                # loss-second-moment sampler sync (gaussian_diffusion.py:76-115)
+                if (hasattr(arch, "sampler")
+                        and hasattr(arch.sampler, "update_with_local_losses")
+                        and logs.get("_timesteps") is not None):
+                    arch.sampler.update_with_local_losses(
+                        logs["_timesteps"], logs["_loss_batch"])
                 global_step += 1
                 if global_step % log_interval == 0:
-                    scal = {k: float(v) for k, v in logs.items()}
+                    scal = {k: float(v) for k, v in logs.items()
+                            if not k.startswith("_") and v is not None}
                     log(f"epoch {epoch} step {global_step}: "
                         + " ".join(f"{k}={v:.5f}" for k, v in sorted(scal.items())))
             log(f"epoch {epoch} done in {time.time() - t0:.1f}s")

@@ -249,10 +249,15 @@ class MotionDiffusion:
         return output
 
     def post_process(self, motion):
-        """De-normalize when the model config asks for unnormalized inference."""
+        """De-normalize when the model config asks for unnormalized inference;
+        model-specific post processing (e.g. MDM official-checkpoint root
+        rescale) runs afterwards."""
         if self._post is not None:
             mean, std = self._post
             motion = motion * std + mean
+        pp = getattr(type(self.model), "post_process", None) if self.model else None
+        if pp is not None:
+            motion = pp(self.model, motion)
         return motion
 
     # ------------------------------------------------------------------ util
