@@ -25,7 +25,7 @@ BASELINE_PER_CHIP = 1000.0 / 8.0  # motions/min per chip from the v5e-8 target
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--quick", action="store_true", help="small model + batch smoke run")
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
@@ -60,10 +60,20 @@ def main():
     sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
                                                      compute_dtype=compute_dtype))
 
-    # warmup / compile
-    t0 = time.time()
-    out = sample_jit(variables, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    # warmup / compile; halve the batch on HBM exhaustion so the bench always
+    # reports a number instead of dying
+    while True:
+        try:
+            t0 = time.time()
+            out = sample_jit(variables, batch, jax.random.PRNGKey(1))
+            jax.block_until_ready(out)
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or B <= 8:
+                raise
+            B //= 2
+            print(f"bench: OOM, retrying with batch {B}", file=sys.stderr)
+            batch = make_text_batch(texts[:B], max_seq_len=T)
     print(f"bench: compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()

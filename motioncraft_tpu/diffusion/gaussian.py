@@ -313,3 +313,54 @@ def discretized_gaussian_log_likelihood(x, *, means, log_scales):
     log_cdf_delta = jnp.log(jnp.clip(cdf_plus - cdf_min, min=1e-12))
     return jnp.where(x < -0.999, log_cdf_plus,
                      jnp.where(x > 0.999, log_one_minus_cdf_min, log_cdf_delta))
+
+
+def vb_terms_bpd(d: GaussianDiffusion, model_fn: Callable, x_start, x_t, t,
+                 clip_denoised: bool = False):
+    """Variational lower-bound term at one timestep, in bits
+    (gaussian_diffusion.py:1120-1156)."""
+    true_mean, _, true_log_var = q_posterior_mean_variance(d, x_start, x_t, t)
+    out = p_mean_variance(d, model_fn(x_t, model_timesteps(d, t)), x_t, t,
+                          clip_denoised=clip_denoised)
+    kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
+    kl = kl.mean(axis=tuple(range(1, kl.ndim))) / np.log(2.0)
+    decoder_nll = -discretized_gaussian_log_likelihood(
+        x_start, means=out["mean"], log_scales=0.5 * out["log_variance"])
+    decoder_nll = decoder_nll.mean(axis=tuple(range(1, decoder_nll.ndim))) / np.log(2.0)
+    output = jnp.where(t == 0, decoder_nll, kl)
+    return {"output": output, "pred_xstart": out["pred_xstart"]}
+
+
+def prior_bpd(d: GaussianDiffusion, x_start):
+    """Prior KL term in bits-per-dim (gaussian_diffusion.py:1247-1265)."""
+    B = x_start.shape[0]
+    t = jnp.full((B,), d.num_timesteps - 1, jnp.int32)
+    qt_mean, _, qt_log_var = q_mean_variance(d, x_start, t)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return kl.mean(axis=tuple(range(1, kl.ndim))) / np.log(2.0)
+
+
+def calc_bpd_loop(d: GaussianDiffusion, model_fn: Callable, x_start,
+                  rng, clip_denoised: bool = False) -> Dict[str, jnp.ndarray]:
+    """Full VLB in bits-per-dim as one scan over timesteps
+    (gaussian_diffusion.py:1267-1327)."""
+    B = x_start.shape[0]
+    ts = jnp.arange(d.num_timesteps - 1, -1, -1)
+
+    def body(key, t_scalar):
+        key, sub = jax.random.split(key)
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
+        x_t = q_sample(d, x_start, t, noise)
+        out = vb_terms_bpd(d, model_fn, x_start, x_t, t, clip_denoised)
+        eps = predict_eps_from_xstart(d, x_t, t, out["pred_xstart"])
+        xstart_mse = ((out["pred_xstart"] - x_start) ** 2).mean(
+            axis=tuple(range(1, x_start.ndim)))
+        mse = ((eps - noise) ** 2).mean(axis=tuple(range(1, x_start.ndim)))
+        return key, (out["output"], xstart_mse, mse)
+
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, rng, ts)
+    vb, xstart_mse, mse = vb.T, xstart_mse.T, mse.T  # [B, T]
+    total_bpd = vb.sum(axis=1) + prior_bpd(d, x_start)
+    return {"total_bpd": total_bpd, "prior_bpd": prior_bpd(d, x_start),
+            "vb": vb, "xstart_mse": xstart_mse, "mse": mse}

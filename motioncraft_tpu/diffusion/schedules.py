@@ -167,3 +167,24 @@ def get_schedule_jump_cjm_ddim(time_respacing: int = 25, jump_length: int = 1,
     ts.append(-1)
     _check_times(ts, -1, t_T)
     return ts
+
+
+def get_schedule(t_T: int, t_0: int, n_sample: int, n_steplength: int) -> List[int]:
+    """Simple resampling schedule (scheduler.py:17-44)."""
+    if n_steplength > 1 and not n_sample > 1:
+        raise RuntimeError("n_steplength has no effect if n_sample=1")
+    t = t_T
+    times = [t]
+    while t >= 0:
+        t -= 1
+        times.append(t)
+        n_cur = min(n_steplength, t_T - t)
+        for _ in range(n_sample - 1):
+            for _ in range(n_cur):
+                t += 1
+                times.append(t)
+            for _ in range(n_cur):
+                t -= 1
+                times.append(t)
+    _check_times(times, t_0, t_T)
+    return times

@@ -82,6 +82,13 @@ def build_optimizer(optimizer_cfg: dict,
         tx = optax.adamw(lr, weight_decay=cfg.get("weight_decay", 1e-2))
     elif opt_type == "sgd":
         tx = optax.sgd(lr, momentum=cfg.get("momentum", 0.9))
+    elif opt_type == "adafactor":
+        # the vendored timm optimizer collection's main non-Adam member
+        tx = optax.adafactor(lr)
+    elif opt_type == "adabelief":
+        tx = optax.adabelief(lr)
+    elif opt_type == "lamb":
+        tx = optax.lamb(lr)
     else:
         raise NotImplementedError(opt_type)
     if grad_clip:
