@@ -1,25 +1,23 @@
-# Flagship 0.125B STMoGen on the MC-Bench mix
-# (reference configs/stmogen/T2M_motionx_align_Finedance_Beats2_face_no_loss_0_125b.py)
-_base_ = ['../_base_/datasets/motionx_mix_bs128.py']
+# STMoGen on HumanML3D 263-d (reference configs/stmogen/T2M_humanml3d.py):
+# 8 body-part heads (7 parts + whole body)
+_base_ = ['../_base_/datasets/human_ml3d_bs128.py']
 
 checkpoint_config = dict(interval=1)
 optimizer = dict(type='Adam', lr=2e-4)
-optimizer_config = dict(grad_clip=None)
 lr_config = dict(policy='step', step=[10])
 runner = dict(type='EpochBasedRunner', max_epochs=24)
 log_config = dict(interval=50)
 
-input_feats = 322
+input_feats = 263
 max_seq_len = 196
 latent_dim = 128
 time_embed_dim = 2048
 text_latent_dim = 256
 ff_size = 512
-num_heads = 12
+num_heads = 8
 num_layers = 4
 dropout = 0
-dataset_name = 'motionx'
-face_no_loss = True
+dataset_name = 'human_ml3d'
 
 model = dict(type='MotionDiffusion',
              model=dict(type='STMoGenTransformer',
@@ -56,7 +54,6 @@ model = dict(type='MotionDiffusion',
                         template_kl_loss_weight=0.0001,
                         use_pos_embedding=True),
              loss_recon=dict(type='MSELoss', loss_weight=1, reduction='none'),
-             face_no_loss=face_no_loss,
              diffusion_train=dict(beta_scheduler='linear', diffusion_steps=1000,
                                   model_mean_type='start_x',
                                   model_var_type='fixed_large'),
