@@ -140,11 +140,14 @@ def load_recordings(args: SimpleNamespace, split: str = "test"):
                "pose": np.asarray(data["poses"], np.float32),
                "facial": np.asarray(data["expressions"], np.float32),
                "trans": np.asarray(data["trans"], np.float32)}
+        if "betas" in data:
+            rec["betas"] = np.asarray(data["betas"], np.float32)
         T = len(rec["pose"])
         wav_file = os.path.join(args.data_path, "wave16k", name + ".wav")
         if os.path.isfile(wav_file):
             sr, wav = read_wav(wav_file)
             rec["wav"] = wav
+            rec["wav_path"] = wav_file
             rec["audio"] = onset_amplitude(wav, sr)[: T * spf]
         else:
             rec["wav"] = np.zeros(T * spf, np.float32)
