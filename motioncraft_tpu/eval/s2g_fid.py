@@ -163,11 +163,17 @@ class SkeletonResidualBlock(nn.Module):
 
 
 class LocalEncoderModule(nn.Module):
-    """Skeleton-conv encoder stack (motion_encoder.py LocalEncoder:698-)."""
+    """Skeleton-conv encoder stack (motion_encoder.py LocalEncoder:698-789).
+
+    With the reference's eval settings (vae_layer=4, grow [1,1,2,1],
+    st_mogen_emage.yaml:14-20) the SMPL-X topology pools 55 -> 35 -> 20
+    edges and the output is naturally 20*12 = 240 = vae_length, matching
+    the torch model which has no final projection; ``out_proj`` only
+    exists when a non-reference layer count leaves a dim mismatch."""
 
     parents: tuple = tuple(int(p) for p in SMPLX_PARENTS)
     channel_base: int = 6
-    num_layers: int = 2
+    num_layers: int = 4
     grow: tuple = (1, 1, 2, 1)
     kernel_size: int = 4
     skeleton_dist: int = 2
@@ -194,17 +200,40 @@ class LocalEncoderModule(nn.Module):
                 pool_matrix=pool if len(pooling_list) != len(edges) else None,
                 name=f"layer_{i}")(h)
             topologies.append(new_edges if not last_pool else edges)
-        return nn.Dense(self.vae_length, name="out_proj")(h)
+        if h.shape[-1] != self.vae_length:
+            h = nn.Dense(self.vae_length, name="out_proj")(h)
+        return h
+
+
+def smplx322_to_rot6d(motion322: np.ndarray) -> np.ndarray:
+    """[B, T, 322] -> [B, T, 55*6] per-joint rot6d (the VAESKConv input rep).
+
+    Rebuilds the 55-joint axis-angle layout (body 0:66, jaw at 66:69 from
+    322-dim 156:159, hands at 75:165 from 66:156) then converts via the
+    continuous 6d representation."""
+    from ..ops.rotation import ax_to_6v
+    B, T = motion322.shape[:2]
+    pose165 = np.zeros((B, T, 165), np.float32)
+    pose165[..., :66] = motion322[..., :66]
+    pose165[..., 66:69] = motion322[..., 156:159]
+    pose165[..., 75:165] = motion322[..., 66:156]
+    d6 = np.asarray(ax_to_6v(jnp.asarray(pose165.reshape(B, T, 55, 3))))
+    return d6.reshape(B, T, 330)
 
 
 @SUBMODULES.register_module()
 class VAESKConv:
-    """Skeleton-conv VAE embedding model (motion_representation.py:67-76):
-    ``map2latent`` returns the per-window latent used for S2G FID."""
+    """Skeleton-conv VAE embedding model (motion_representation.py:31-76):
+    ``map2latent`` returns the per-window latent used for S2G FID.
 
-    def __init__(self, vae_length: int = 240, vae_layer: int = 2,
+    ``variational=False`` (the reference's AESKConv eval setting,
+    st_mogen_emage.yaml:20) skips fc_mu, as VAEConv.map2latent does."""
+
+    def __init__(self, vae_length: int = 240, vae_layer: int = 4,
                  vae_test_dim: int = 330, vae_grow=(1, 1, 2, 1),
+                 variational: bool = False,
                  init_cfg: Optional[dict] = None, seed: int = 0, **kwargs):
+        self.variational = variational
         self.encoder = LocalEncoderModule(num_layers=vae_layer, grow=tuple(vae_grow),
                                           vae_length=vae_length)
         self.fc_mu = nn.Dense(vae_length)
@@ -213,11 +242,18 @@ class VAESKConv:
         self.enc_params = self.encoder.init(key, x0)
         h0 = self.encoder.apply(self.enc_params, x0)
         self.mu_params = self.fc_mu.init(key, h0)
-        self._map = jax.jit(lambda ep, mp, x: self.fc_mu.apply(
-            mp, self.encoder.apply(ep, x)))
+        if variational:
+            self._map = jax.jit(lambda ep, mp, x: self.fc_mu.apply(
+                mp, self.encoder.apply(ep, x)))
+        else:
+            self._map = jax.jit(lambda ep, mp, x: self.encoder.apply(ep, x))
         if init_cfg and init_cfg.get("type") == "Pretrained":
             import os
-            if not os.path.isfile(init_cfg["checkpoint"]):
+            if os.path.isfile(init_cfg["checkpoint"]):
+                from ..utils.torch_convert import load_vaeskconv_ckpt
+                self.enc_params, self.mu_params = load_vaeskconv_ckpt(
+                    init_cfg["checkpoint"], self.enc_params, self.mu_params)
+            else:
                 print(f"[VAESKConv] checkpoint {init_cfg['checkpoint']} not found; "
                       "random weights")
 
@@ -226,5 +262,14 @@ class VAESKConv:
         return self._map(self.enc_params, self.mu_params, jnp.asarray(x, jnp.float32))
 
     def encode_motion(self, motion, motion_length=None, motion_mask=None, **kw):
-        lat = self.map2latent(motion)
+        """Drop-in harness evaluator: accepts raw 322-d SMPL-X motion and
+        converts to the 55-joint rot6d rep the torch model was trained on
+        (EMAGE trainers keep pose in rot6d, camn_trainer.py:208-215)."""
+        motion = np.asarray(motion, np.float32)
+        if motion.shape[-1] != 330:
+            motion = smplx322_to_rot6d(motion)
+        # trim to a multiple of the temporal downsampling factor
+        step = 2 ** self.encoder.num_layers
+        T = (motion.shape[1] // step) * step
+        lat = self.map2latent(motion[:, :T] if T else motion)
         return lat.mean(axis=1)

@@ -27,7 +27,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
-        for key in ("state_dict", "model", "module"):
+        # "model_state" is the EMAGE trainer format (other_tools.py:1005-1023)
+        for key in ("state_dict", "model_state", "model", "module"):
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break
@@ -387,3 +388,49 @@ def load_stmogen_ckpt(path: str, variables, num_layers: int, num_heads: int,
     variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
     _tree_update(variables["params"], tree)
     return variables
+
+
+def convert_vaeskconv(sd: Dict[str, np.ndarray], num_layers: int = 4):
+    """EMAGE VAESKConv (``AESKConv_240_100.bin``) -> flax param trees.
+
+    Torch layout (motion_representation.py:67-76 + skeleton.py:9-113,547-585;
+    each encoder layer is Sequential(SkeletonResidual)):
+      encoder.layers.{i}.0.residual.0.{weight,bias}  masked conv [out,in,k]
+      encoder.layers.{i}.0.residual.1.{weight,bias}  GroupNorm(10)
+      encoder.layers.{i}.0.shortcut.{weight,bias}    1x1 masked conv
+      fc_mu.{weight,bias} / fc_logvar.{weight,bias}  Linear
+    Neighborhood masks and mean-pooling matrices are structural buffers —
+    recomputed from the kinematic tree on host — and skipped here (the raw
+    torch weights are zero outside the mask, so dense conv is equivalent).
+    The decoder (VQDecoderV3) is not needed for FID embedding.
+    """
+    def masked_conv(prefix):
+        # MaskedConv1d names its [k, in, out] kernel param "weight"
+        c = t_conv1d(sd, prefix)
+        return {"weight": c["kernel"], "bias": c["bias"]}
+
+    enc = {}
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}.0"
+        enc[f"layer_{i}"] = {
+            "conv": masked_conv(f"{p}.residual.0"),
+            "gn": {"scale": sd[f"{p}.residual.1.weight"],
+                   "bias": sd[f"{p}.residual.1.bias"]},
+            "shortcut": masked_conv(f"{p}.shortcut"),
+        }
+    return enc, t_linear(sd, "fc_mu")
+
+
+def load_vaeskconv_ckpt(path: str, enc_params, mu_params, num_layers: int = 4):
+    """Load the EMAGE S2G FID evaluator checkpoint into flax params."""
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    enc_tree, mu_tree = convert_vaeskconv(sd, num_layers)
+    enc_params = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(enc_params))
+    mu_params = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(mu_params))
+    _tree_update(enc_params["params"], enc_tree)
+    _tree_update(mu_params["params"], mu_tree)
+    return enc_params, mu_params
