@@ -26,18 +26,38 @@ def set_random_seed(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
-def make_train_step(arch) -> Callable:
-    """Pure (state, batch, rng) -> (state, logs) step for jit/pjit."""
+def make_train_step(arch, fp16: Optional[dict] = None) -> Callable:
+    """Pure (state, batch, rng) -> (state, logs) step for jit/pjit.
+
+    ``fp16`` mirrors the reference's mmcv Fp16OptimizerHook option
+    (mogen/apis/train.py:119-128): when set, the forward/backward runs in
+    half precision against a float32 master copy of the params.  On TPU the
+    half type is bfloat16 (``dtype`` key, default 'bfloat16'), whose range
+    makes the hook's loss scaling unnecessary — a static ``loss_scale`` is
+    still honored for parity when requested.
+    """
+    compute_dtype = None
+    loss_scale = 1.0
+    if fp16 is not None:
+        compute_dtype = jnp.dtype(fp16.get("dtype", "bfloat16"))
+        ls = fp16.get("loss_scale", 1.0)
+        loss_scale = float(ls) if not isinstance(ls, str) else 1.0
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         def loss_fn(params):
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype)
+                    if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
             variables = {"params": params}
             if state.extra_variables:
                 variables.update(state.extra_variables)
             loss, logs = arch.loss(variables, batch, rng)
-            return loss, logs
+            return jnp.asarray(loss, jnp.float32) * loss_scale, logs
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if loss_scale != 1.0:
+            grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
         new_state = state.apply_gradients(grads)
         scalars = {k: v for k, v in logs.items()
                    if hasattr(v, "ndim") and v.ndim == 0}
@@ -66,7 +86,8 @@ def train_model(arch,
                 init_state: Optional[TrainState] = None,
                 frozen_prefixes=("text_enc/clip",),
                 resume_dir: Optional[str] = None,
-                variables_transform: Optional[Callable] = None):
+                variables_transform: Optional[Callable] = None,
+                fp16: Optional[dict] = None):
     """Config-driven loop: Adam + step decay, per-epoch checkpoint/eval hooks
     (reference recipe at configs/stmogen/...0_125b.py:13-24)."""
     rng = set_random_seed(seed)
@@ -97,7 +118,7 @@ def train_model(arch,
             log = logger or (lambda m: print(m, flush=True))
             log(f"resumed from {resume_dir} at epoch {step}")
 
-    step_fn = jax.jit(make_train_step(arch),
+    step_fn = jax.jit(make_train_step(arch, fp16=fp16),
                       in_shardings=(replicated(mesh),
                                     batch_sharding(mesh), replicated(mesh)),
                       out_shardings=(replicated(mesh), replicated(mesh)))

@@ -166,3 +166,36 @@ class TestSTMoGenE2E:
         out = arch.split_results(results)
         assert len(out) == 2 and out[0]["text"] == "a person walks"
         assert out[0]["pred_motion"].shape == (T, D_IN)
+
+
+class TestMixedPrecision:
+    def test_bf16_train_step_keeps_f32_master(self, arch_and_vars):
+        """fp16 option (reference Fp16OptimizerHook, apis/train.py:119-128):
+        forward/backward in bfloat16, float32 master params + grads."""
+        from motioncraft_tpu.apis.train import make_train_step
+        from motioncraft_tpu.parallel import create_train_state
+        arch, variables, batch = arch_and_vars
+        state = create_train_state(variables["params"], {"type": "Adam", "lr": 1e-4})
+        step = jax.jit(make_train_step(arch, fp16=dict(dtype="bfloat16",
+                                                       loss_scale=8.0)))
+        new_state, logs = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(logs["loss"]))
+        leaves = jax.tree_util.tree_leaves(new_state.params)
+        assert all(l.dtype == jnp.float32 for l in leaves
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+        # params actually moved
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    def test_bf16_and_f32_losses_close(self, arch_and_vars):
+        from motioncraft_tpu.apis.train import make_train_step
+        from motioncraft_tpu.parallel import create_train_state
+        arch, variables, batch = arch_and_vars
+        state = create_train_state(variables["params"], {"type": "Adam", "lr": 1e-4})
+        rng = jax.random.PRNGKey(2)
+        _, logs32 = jax.jit(make_train_step(arch))(state, batch, rng)
+        _, logs16 = jax.jit(make_train_step(arch, fp16=dict()))(state, batch, rng)
+        # same RNG path; bf16 rounding only
+        assert abs(float(logs32["loss"]) - float(logs16["loss"])) < 0.05 * (
+            abs(float(logs32["loss"])) + 1e-6) + 0.02

@@ -137,7 +137,8 @@ def main():
         eval_fn=eval_fn,
         frozen_prefixes=frozen,
         resume_dir=ckpt_dir if args.resume else None,
-        variables_transform=variables_transform)
+        variables_transform=variables_transform,
+        fp16=cfg.get("fp16"))
     logger.info(f"training done at step {int(state.step)}")
 
 
