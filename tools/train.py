@@ -79,9 +79,15 @@ def main():
             ) + ("base_model/text_enc/clip",)
 
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    # mmcv checkpoint_config equivalent: interval + max_keep_ckpts pruning
+    ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
+    ckpt_interval = ckpt_cfg.get("interval", 1)
+    max_keep = ckpt_cfg.get("max_keep_ckpts")
 
     def checkpoint_fn(state, epoch):
-        save_checkpoint(ckpt_dir, state, epoch)
+        if (epoch + 1) % ckpt_interval != 0:
+            return
+        save_checkpoint(ckpt_dir, state, epoch, max_to_keep=max_keep)
         save_params(os.path.join(work_dir, "params.npz"), {"params": state.params})
         logger.info(f"saved checkpoint at epoch {epoch}")
 
