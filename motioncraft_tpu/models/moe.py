@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_moe import moe_positions
 from .blocks import zeros_init
 
 
@@ -122,20 +123,15 @@ class MoELayer(nn.Module):
             order = jnp.argsort(-topk_scores[:, 0])
             inv_order = jnp.argsort(order)
 
-        # GShard-style position computation, sequential over the K choices
-        onehots = jax.nn.one_hot(topk_idx, E, dtype=jnp.int32)  # [N, K, E]
-        onehots_sorted = onehots[order] if prioritize else onehots
-        prev_counts = jnp.zeros((E,), jnp.int32)
-        positions = []
-        for k in range(K):
-            m = onehots_sorted[:, k, :]  # [N, E]
-            pos_sorted = (jnp.cumsum(m, axis=0) - 1 + prev_counts[None, :])
-            pos_k = (pos_sorted * m).sum(axis=1)
-            if prioritize:
-                pos_k = pos_k[inv_order]
-            positions.append(pos_k)
-            prev_counts = prev_counts + m.sum(axis=0)
-        positions = jnp.stack(positions, axis=1)  # [N, K]
+        # Tutel position computation (rank within the chosen expert, k-major
+        # processing order) as ONE flat cumsum over [K*N, E] — the per-k
+        # loop formulation is ~70x slower on TPU (see ops/pallas_moe.py)
+        idx_for_rank = topk_idx[order] if prioritize else topk_idx
+        flat_idx = idx_for_rank.T.reshape(-1)  # k-major [K*N]
+        pos_flat = moe_positions(flat_idx, E)
+        positions = pos_flat.reshape(K, N).T  # [N, K]
+        if prioritize:
+            positions = positions[inv_order]
 
         valid = positions < capacity  # capacity dropping
         gates = gates * valid.astype(gates.dtype)

@@ -1,0 +1,104 @@
+"""MoE slot-position computation (Tutel fast_cumsum_sub_one equivalent).
+
+The Tutel-compatible slot assignment (moe.py) needs, per (token, k) choice,
+its arrival rank within the chosen expert — the reference computes this with
+Tutel's fast_cumsum_sub_one CUDA kernel (tutel jit_kernels/sparse.py).
+
+Two TPU implementations, both exact:
+  - ``_positions_xla``: one flat one-hot + cumsum over [K*N, E].  ~0.15 ms at
+    the flagship token count on v5e — this is the default.
+  - ``_positions_pallas``: a sequential-grid scan kernel carrying per-expert
+    running counts in VMEM scratch (cumsum realized as a tril(ones) MXU
+    matmul since Mosaic lacks a cumsum primitive).  ~3.6 ms — kept as a
+    reference kernel and for runtimes where the XLA cumsum lowering regresses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _positions_kernel(idx_ref, out_ref, counts_ref, *, num_experts: int):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        counts_ref[...] = jnp.zeros_like(counts_ref)
+
+    idx = idx_ref[:, 0]  # [R] int32 expert ids (sentinel >= E marks padding)
+    R = idx.shape[0]
+    experts = jax.lax.broadcasted_iota(jnp.int32, (R, num_experts), 1)
+    onehot = (idx[:, None] == experts).astype(jnp.float32)        # [R, E]
+    # Mosaic has no cumsum primitive; inclusive scan = tril(ones) @ onehot
+    # on the MXU (exact in f32: counts < 2^24)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    tri = (rows >= cols).astype(jnp.float32)
+    csum = jax.lax.dot(tri, onehot,
+                       preferred_element_type=jnp.float32)        # [R, E]
+    carry = counts_ref[0, :num_experts].astype(jnp.float32)
+    pos = ((csum - 1 + carry[None, :]) * onehot).sum(axis=1)
+    out_ref[:, 0] = pos.astype(jnp.int32)
+    # csum[-1] via static slice (integer indexing lowers to dynamic_slice,
+    # which Mosaic does not implement)
+    totals = jax.lax.slice_in_dim(csum, R - 1, R, axis=0).reshape(num_experts)
+    counts_ref[0, :num_experts] = (carry + totals).astype(jnp.int32)
+
+
+def _positions_pallas(flat_idx: jnp.ndarray, num_experts: int,
+                      block_rows: int = 2048, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = flat_idx.shape[0]
+    Mp = ((M + block_rows - 1) // block_rows) * block_rows
+    if Mp != M:
+        # sentinel num_experts: matches no expert, leaves counts untouched
+        flat_idx = jnp.pad(flat_idx, (0, Mp - M), constant_values=num_experts)
+    idx2d = flat_idx.reshape(Mp, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_positions_kernel, num_experts=num_experts),
+        grid=(Mp // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(idx2d.shape, jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        interpret=interpret,
+    )(idx2d)
+    return out.reshape(Mp)[:M]
+
+
+def _positions_xla(flat_idx: jnp.ndarray, num_experts: int):
+    onehot = jax.nn.one_hot(flat_idx, num_experts, dtype=jnp.int32)
+    csum = jnp.cumsum(onehot, axis=0)
+    return ((csum - 1) * onehot).sum(axis=1)
+
+
+def moe_positions(flat_idx: jnp.ndarray, num_experts: int,
+                  use_pallas: str = "auto") -> jnp.ndarray:
+    """Arrival rank of each entry within its expert.
+
+    ``flat_idx`` [M] int32 expert ids in Tutel processing order (k-major);
+    entries >= num_experts are ignored (rank output undefined for them).
+
+    Measured on v5e at M=6e5, E=16: the flat XLA one-hot cumsum runs in
+    ~0.15 ms — faster than this file's Pallas scan kernel (~3.6 ms, grid +
+    tri-matmul bound) and ~70x faster than a per-k python loop of cumsums.
+    So "auto" means XLA; the kernel stays available ("always" /
+    MOTIONCRAFT_PALLAS_POSITIONS=1) and parity-tested.
+    """
+    import os
+    if use_pallas == "always" or (
+            use_pallas == "auto" and jax.default_backend() == "tpu"
+            and os.environ.get("MOTIONCRAFT_PALLAS_POSITIONS") == "1"):
+        return _positions_pallas(flat_idx, num_experts)
+    return _positions_xla(flat_idx, num_experts)

@@ -214,3 +214,15 @@ class TestAttention:
             out = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
                           motion_length=ml, num_intervals=ni)
             assert out.shape == (B, T, D) and np.isfinite(np.asarray(out)).all()
+
+
+def test_moe_positions_pallas_parity():
+    """The Pallas scan kernel and the flat XLA cumsum agree exactly."""
+    import numpy as np
+    from motioncraft_tpu.ops.pallas_moe import _positions_pallas, _positions_xla
+    rng = np.random.RandomState(0)
+    for M, E, R in ((10000, 16, 2048), (1000, 4, 256)):
+        idx = jnp.asarray(rng.randint(0, E, (M,)), jnp.int32)
+        want = np.asarray(_positions_xla(idx, E))
+        got = np.asarray(_positions_pallas(idx, E, block_rows=R, interpret=True))
+        assert (got == want).all()
