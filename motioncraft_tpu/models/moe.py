@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_ffn import expert_ffn
 from ..ops.pallas_moe import moe_positions
 from .blocks import zeros_init
 
@@ -164,8 +165,12 @@ class MoELayer(nn.Module):
             w1 = jax.lax.with_sharding_constraint(w1, jax.sharding.PartitionSpec(self.expert_axis))
             w2 = jax.lax.with_sharding_constraint(w2, jax.sharding.PartitionSpec(self.expert_axis))
 
-        h = nn.gelu(jnp.einsum("ecd,edf->ecf", xe, w1) + b1[:, None, :], approximate=False)
-        ye = jnp.einsum("ecf,efd->ecd", h, w2) + b2[:, None, :]
+        # fused on TPU: the [E, C, hidden] activation stays in VMEM
+        # (ops/pallas_ffn.py; the XLA einsum pair round-trips ~1.8 GB of HBM
+        # for it at flagship shape).  With an expert mesh axis the einsum
+        # path is kept so XLA can partition it over ICI.
+        ye = expert_ffn(xe, w1, b1, w2, b2,
+                        use_pallas="never" if self.expert_axis else "auto")
         ye_flat = jnp.concatenate([ye.reshape(E * capacity, D),
                                    jnp.zeros((1, D), x.dtype)], axis=0)
         y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype), ye_flat[slots])

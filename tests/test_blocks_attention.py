@@ -226,3 +226,23 @@ def test_moe_positions_pallas_parity():
         want = np.asarray(_positions_xla(idx, E))
         got = np.asarray(_positions_pallas(idx, E, block_rows=R, interpret=True))
         assert (got == want).all()
+
+
+def test_fused_expert_ffn_parity():
+    """Pallas fused expert FFN == XLA einsum pair (values and custom-vjp grads)."""
+    import numpy as np
+    from motioncraft_tpu.ops.pallas_ffn import (_ffn_forward, _ffn_reference,
+                                                fused_expert_ffn)
+    rng = np.random.RandomState(0)
+    E, C, D, F = 4, 300, 128, 512
+    xe = jnp.asarray(rng.randn(E, C, D), jnp.float32)
+    w1 = jnp.asarray(rng.randn(E, D, F) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(E, F) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(E, F, D) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(E, D) * 0.1, jnp.float32)
+    got = np.asarray(_ffn_forward(xe, w1, b1, w2, b2, block_c=256, interpret=True))
+    want = np.asarray(_ffn_reference(xe, w1, b1, w2, b2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    g = jax.grad(lambda w: fused_expert_ffn(xe, w, b1, w2, b2, True).sum())(w1)
+    gr = jax.grad(lambda w: _ffn_reference(xe, w, b1, w2, b2).sum())(w1)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-5)
