@@ -137,26 +137,7 @@ class MoELayer(nn.Module):
         valid = positions < capacity  # capacity dropping
         gates = gates * valid.astype(gates.dtype)
 
-        # Scatter/gather dispatch (the TPU equivalent of Tutel's sparse CUDA
-        # dispatch).  One-hot [N, E, C] einsums would be O(N^2) memory at real
-        # token counts (N = B*T*H ~ 3e5); instead each (token, k) writes its
-        # row into a flat (expert, slot) buffer and gathers it back.  Slots
-        # are unique by construction, the extra row is the overflow dump.
-        slots = topk_idx * capacity + positions  # [N, K]
-        slots = jnp.where(valid, slots, E * capacity)
-        # scalar-index scatter (token id per slot) + row gather: 128x less
-        # scatter traffic than scattering the feature rows directly, and the
-        # heavy data movement becomes a TPU-friendly gather
-        token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
-                                     (N, K)).reshape(-1)
-        token_for_slot = jnp.zeros((E * capacity + 1,), jnp.int32).at[
-            slots.reshape(-1)].set(token_ids)
-        slot_filled = jnp.zeros((E * capacity + 1,), jnp.bool_).at[
-            slots.reshape(-1)].set(True)
-        xe_flat = jnp.where(slot_filled[:-1, None], x[token_for_slot[:-1]], 0)
-        xe = xe_flat.reshape(E, capacity, D)
-
-        # expert FFN: batched matmuls over the expert axis
+        # expert FFN weights
         w1 = self.param("expert_w1", nn.initializers.lecun_normal(), (E, D, self.hidden_dim))
         b1 = self.param("expert_b1", zeros_init, (E, self.hidden_dim))
         w2 = self.param("expert_w2", nn.initializers.lecun_normal(), (E, self.hidden_dim, D))
@@ -165,15 +146,59 @@ class MoELayer(nn.Module):
             w1 = jax.lax.with_sharding_constraint(w1, jax.sharding.PartitionSpec(self.expert_axis))
             w2 = jax.lax.with_sharding_constraint(w2, jax.sharding.PartitionSpec(self.expert_axis))
 
-        # fused on TPU: the [E, C, hidden] activation stays in VMEM
-        # (ops/pallas_ffn.py; the XLA einsum pair round-trips ~1.8 GB of HBM
-        # for it at flagship shape).  With an expert mesh axis the einsum
-        # path is kept so XLA can partition it over ICI.
-        ye = expert_ffn(xe, w1, b1, w2, b2,
-                        use_pallas="never" if self.expert_axis else "auto")
-        ye_flat = jnp.concatenate([ye.reshape(E * capacity, D),
-                                   jnp.zeros((1, D), x.dtype)], axis=0)
-        y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype), ye_flat[slots])
+        token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                                     (N, K)).reshape(-1)
+        import os
+        ragged_env = os.environ.get("MOTIONCRAFT_MOE_RAGGED")
+        use_ragged = (not train and self.expert_axis is None
+                      and (ragged_env == "1"
+                           or (jax.default_backend() == "tpu" and ragged_env != "0")))
+        if use_ragged:
+            # Rank-compact dispatch + lax.ragged_dot (megablocks-style): the
+            # kept (token, k) choices occupy M = K*N rows sorted by expert
+            # (rank = offset[e] + position), so the expert FFN runs grouped
+            # matmuls on 602k compact rows instead of padded [E, capacity]
+            # einsums on 904k — measured 15.2 -> 9.2 ms on v5e, plus a
+            # smaller dispatch gather.  Same capacity-drop semantics.
+            counts = jnp.sum(jax.nn.one_hot(flat_idx, E, dtype=jnp.int32), axis=0)
+            fill = jnp.minimum(counts, capacity)              # [E]
+            offset = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      jnp.cumsum(fill)[:-1]])
+            M = N * K
+            rank = offset[topk_idx] + positions               # [N, K]
+            rank_flat = jnp.where(valid.reshape(-1), rank.reshape(-1), M)
+            token_for_rank = jnp.zeros((M + 1,), jnp.int32).at[rank_flat].set(token_ids)
+            xs = x[token_for_rank[:M]]                        # [M, D] expert-sorted
+            # pad rows (when drops occur) are assigned to the last group
+            group_sizes = fill.at[E - 1].add(M - fill.sum())
+            h = jax.lax.ragged_dot(xs, w1, group_sizes)
+            b1_rows = jnp.repeat(b1, group_sizes, axis=0, total_repeat_length=M)
+            h = nn.gelu(h + b1_rows, approximate=False)
+            ye = jax.lax.ragged_dot(h.astype(x.dtype), w2, group_sizes)
+            b2_rows = jnp.repeat(b2, group_sizes, axis=0, total_repeat_length=M)
+            ye_flat = jnp.concatenate([ye + b2_rows, jnp.zeros((1, D), x.dtype)], axis=0)
+            y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype),
+                           ye_flat[jnp.where(valid, rank, M)])
+        else:
+            # Scatter/gather slot-buffer dispatch (the TPU equivalent of
+            # Tutel's sparse CUDA dispatch).  One-hot [N, E, C] einsums would
+            # be O(N^2) memory at real token counts (N = B*T*H ~ 3e5);
+            # instead each (token, k) writes its row into a flat
+            # (expert, slot) buffer and gathers it back.  Slots are unique by
+            # construction, the extra row is the overflow dump.
+            slots = topk_idx * capacity + positions  # [N, K]
+            slots = jnp.where(valid, slots, E * capacity)
+            token_for_slot = jnp.zeros((E * capacity + 1,), jnp.int32).at[
+                slots.reshape(-1)].set(token_ids)
+            slot_filled = jnp.zeros((E * capacity + 1,), jnp.bool_).at[
+                slots.reshape(-1)].set(True)
+            xe_flat = jnp.where(slot_filled[:-1, None], x[token_for_slot[:-1]], 0)
+            xe = xe_flat.reshape(E, capacity, D)
+            ye = expert_ffn(xe, w1, b1, w2, b2,
+                            use_pallas="never" if self.expert_axis else "auto")
+            ye_flat = jnp.concatenate([ye.reshape(E * capacity, D),
+                                       jnp.zeros((1, D), x.dtype)], axis=0)
+            y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype), ye_flat[slots])
 
         # aux loss visible via the 'losses' collection
         scores_wo_noise = jax.nn.softmax(logits, axis=1)
