@@ -73,6 +73,12 @@ def main():
                 raise
             B //= 2
             print(f"bench: OOM, retrying with batch {B}", file=sys.stderr)
+            # drop the failed executable + its live buffers before retrying,
+            # otherwise the halved attempt inherits a fragmented heap
+            import gc
+            out = None
+            jax.clear_caches()
+            gc.collect()
             batch = make_text_batch(texts[:B], max_seq_len=T)
     print(f"bench: compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 

@@ -213,7 +213,7 @@ def ddim_sample_loop(
               if track_tail else None)
 
     def body(carry, t_scalar):
-        x, key, tails = carry
+        x, key, tails, _ = carry
         key, sub = jax.random.split(key)
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
         x, pred_x0, tail = ddim_step(
@@ -222,10 +222,12 @@ def ddim_sample_loop(
             outpainting=outpainting, repaint=repaint)
         if tails is not None and tail is not None:
             tails = tails.at[t_scalar].set(tail)
-        return (x, key, tails), pred_x0
+        # carry the last pred_xstart instead of stacking all of them
+        # (stacked [num_steps, B, T, D] would be ~0.8 GB at the bench shape)
+        return (x, key, tails, pred_x0), None
 
-    (x, _, tails), preds = jax.lax.scan(body, (noise, rng, tails0), ts)
-    return SampleResult(sample=x, pred_xstart=preds[-1], noisy_tail=tails)
+    (x, _, tails, pred_x0), _ = jax.lax.scan(body, (noise, rng, tails0, noise), ts)
+    return SampleResult(sample=x, pred_xstart=pred_x0, noisy_tail=tails)
 
 
 def ddim_sample_loop_harmonize(
