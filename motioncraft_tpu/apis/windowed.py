@@ -28,6 +28,31 @@ def num_windows(total_frames: int, window: int, pre_frames: int) -> int:
     return max(1, (total_frames - pre_frames) // (window - pre_frames))
 
 
+def _jitted_samplers(arch):
+    """One set of jitted sample fns per architecture, cached on the instance.
+
+    Re-creating ``jax.jit`` wrappers per call (or per window) would give each
+    its own trace cache and recompile the DDIM scan for every recording —
+    the long-form S2G test set has dozens.  jit's own cache handles distinct
+    shapes/modes underneath a single wrapper."""
+    cache = getattr(arch, "_windowed_jit_cache", None)
+    if cache is None:
+        def outpaint_fn(v, b, r, gt, mask, prev_tail, clip_idx_gt0):
+            op = Outpainting(mask=mask, gt=gt,
+                             clip_idx=1 if clip_idx_gt0 else 0,
+                             previous_noisy_tail=prev_tail)
+            return arch.sample(v, b, r, outpainting=op)
+
+        cache = {
+            "plain": jax.jit(lambda v, b, r: arch.sample(v, b, r)),
+            "pre_seq": jax.jit(
+                lambda v, b, r, p: arch.sample(v, b, r, pre_seq=p)),
+            "outpaint": jax.jit(outpaint_fn, static_argnums=(6,)),
+        }
+        arch._windowed_jit_cache = cache
+    return cache
+
+
 def windowed_sample(
     arch,
     variables,
@@ -55,18 +80,10 @@ def windowed_sample(
     repaint = repaint or RepaintConfig(overlap_len=pre_frames)
     rounds = num_windows(total_frames, window, pre_frames)
     stride = window - pre_frames
-
-    sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r))
-
-    def sample_outpaint_jit_factory():
-        def f(v, b, r, gt, mask, prev_tail, clip_idx_gt0):
-            op = Outpainting(mask=mask, gt=gt,
-                             clip_idx=1 if clip_idx_gt0 else 0,
-                             previous_noisy_tail=prev_tail)
-            return arch.sample(v, b, r, outpainting=op)
-        return jax.jit(f, static_argnums=(6,))
-
-    sample_outpaint = sample_outpaint_jit_factory()
+    jits = _jitted_samplers(arch)
+    sample_jit = jits["plain"]
+    sample_preseq = jits["pre_seq"]
+    sample_outpaint = jits["outpaint"]
 
     out_frames: list = []
     last_window = None  # normalized-space [1, window, D]
@@ -84,8 +101,7 @@ def windowed_sample(
             else:
                 # seed the overlap with the previous tail (pre_seq path)
                 pre_seq = last_window[:, -pre_frames:, :]
-                result = jax.jit(lambda v, b, r, p: arch.sample(v, b, r, pre_seq=p))(
-                    variables, batch, sub, pre_seq)
+                result = sample_preseq(variables, batch, sub, pre_seq)
             sample = result[0] if isinstance(result, tuple) else result
         else:
             D = feat_dim

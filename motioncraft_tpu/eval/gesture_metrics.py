@@ -81,28 +81,33 @@ def audio_onsets_seconds(wav: np.ndarray, sr: int = 16000) -> np.ndarray:
 
 
 def motion_beats(joints: np.ndarray, pose_fps: int = 30, order: int = 7,
-                 threshold: float = 0.3, mmae: float = 1.0,
-                 joint_subset: Optional[Sequence[int]] = None) -> List[np.ndarray]:
+                 threshold: float = 0.3, mmae=1.0,
+                 joint_subset: Optional[Sequence[int]] = None,
+                 t_start: int = 0, t_end: Optional[int] = None) -> List[np.ndarray]:
     """Per-joint velocity local minima ('motion beats', metric.py:78-130).
 
     joints: [T, J, 3] global positions.  Velocity by central differences,
-    normalized by mmae (mean max abs velocity of the dataset); beats are local
-    minima of speed above the movement threshold.
+    normalized by mmae (scalar or per-joint [J] mean max velocity of the
+    dataset); beats are local minima of speed, within the [t_start, t_end)
+    window, whose *window-relative* index happens to land in the set of
+    full-sequence above-threshold indices — that absolute-vs-relative index
+    comparison reproduces the reference exactly (metric.py:115-125).
     """
     T = joints.shape[0]
+    t_end = T if t_end is None else t_end
     dt = 1.0 / pose_fps
     pos = joints.reshape(T, -1, 3)
     vel = np.empty_like(pos)
     vel[0] = (pos[1] - pos[0]) / dt
     vel[-1] = (pos[-1] - pos[-2]) / dt
     vel[1:-1] = (pos[2:] - pos[:-2]) / (2 * dt)
-    speed = np.linalg.norm(vel, axis=2) / mmae  # [T, J]
+    speed = np.linalg.norm(vel, axis=2) / np.asarray(mmae)  # [T, J]
     beats = []
     idxs = range(speed.shape[1]) if joint_subset is None else joint_subset
     for j in idxs:
-        mins = argrelextrema(speed[:, j], np.less, order=order)[0]
-        mask = np.nonzero(speed[:, j] > threshold)[0]
-        beats.append(np.asarray([m for m in mins if m in set(mask.tolist())]))
+        mins = argrelextrema(speed[t_start:t_end, j], np.less, order=order)[0]
+        mask = set(np.nonzero(speed[:, j] > threshold)[0].tolist())
+        beats.append(np.asarray([m for m in mins if m in mask]))
     return beats
 
 
@@ -123,22 +128,37 @@ UPPER_BODY = [3, 6, 9, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21]
 
 
 class BeatAlign:
-    """Audio-onset <-> motion-beat alignment score (metric.py:54-241)."""
+    """Audio-onset <-> motion-beat alignment score (metric.py:54-241).
 
-    def __init__(self, sigma: float = 0.3, order: int = 7, mmae: float = 1.0,
+    With ``align_mask`` > 0 (the reference harness uses 60 frames,
+    s2g_test.py:88,416-422) both streams are evaluated on offset windows:
+    audio onsets over ``wav[mask*spf : len(full_wav)-mask*spf]`` and motion
+    beats over frames ``[mask, T-mask)``.  ``mmae`` may be a scalar or a
+    per-joint [J] array (the reference loads ``mean_vel_<rep>.npy``).
+    """
+
+    def __init__(self, sigma: float = 0.3, order: int = 7, mmae=1.0,
                  upper_body: Sequence[int] = tuple(UPPER_BODY),
-                 threshold: float = 0.3):
+                 threshold: float = 0.3, align_mask: int = 0):
         self.sigma = sigma
         self.order = order
         self.mmae = mmae
         self.upper_body = list(upper_body)
         self.threshold = threshold
+        self.align_mask = align_mask
 
     def score(self, wav: np.ndarray, joints: np.ndarray, sr: int = 16000,
-              pose_fps: int = 30) -> float:
-        onset_t = audio_onsets_seconds(wav, sr)
+              pose_fps: int = 30, full_wav_len: Optional[int] = None) -> float:
+        """wav: audio already trimmed to T frames (T*sr/fps samples);
+        joints: [T, J, 3].  ``full_wav_len`` is the untrimmed recording length
+        in samples (the reference computes the audio window end from it)."""
+        T = joints.shape[0]
+        a_off = int(self.align_mask * (sr / pose_fps))
+        a_end = (full_wav_len if full_wav_len is not None else len(wav)) - a_off
+        onset_t = audio_onsets_seconds(wav[a_off:a_end], sr)
         beats = motion_beats(joints, pose_fps, self.order, self.threshold,
-                             self.mmae, joint_subset=None)
+                             self.mmae, joint_subset=None,
+                             t_start=self.align_mask, t_end=T - self.align_mask)
         scores = []
         for j, beat in enumerate(beats):
             if j not in self.upper_body:
@@ -148,14 +168,26 @@ class BeatAlign:
         return float(np.mean(scores)) if scores else 0.0
 
 
+def facial_mse(pred_face: np.ndarray, gt_face: np.ndarray) -> float:
+    """Facial L2 metric = torch MSELoss over face vertices, i.e. the mean
+    squared element-wise difference (reference s2g_test.py:410-412,
+    reclatent_loss = nn.MSELoss)."""
+    d = np.asarray(pred_face, np.float64) - np.asarray(gt_face, np.float64)
+    return float(np.mean(d * d))
+
+
+def facial_lvd(pred_face: np.ndarray, gt_face: np.ndarray) -> float:
+    """Facial LVD = torch L1Loss between the prediction's and GT's
+    frame-difference velocities, with the reference's asymmetric pairing
+    vel_rec = rec[1:] - tar[:-1] (s2g_test.py:409)."""
+    pred = np.asarray(pred_face, np.float64)
+    gt = np.asarray(gt_face, np.float64)
+    pv = pred[1:] - gt[:-1]
+    gv = gt[1:] - gt[:-1]
+    return float(np.mean(np.abs(pv - gv)))
+
+
 def facial_l2(pred_face: np.ndarray, gt_face: np.ndarray) -> float:
-    """Mean L2 distance of the face region (vertices or expression coeffs)."""
+    """Mean L2 distance of the face region — NOT the reference metric
+    (kept for diagnostics; the protocol metric is :func:`facial_mse`)."""
     return float(np.linalg.norm(pred_face - gt_face, axis=-1).mean())
-
-
-def facial_lvd(pred_face: np.ndarray, gt_face: np.ndarray, pose_fps: int = 30) -> float:
-    """Landmark/latent velocity difference: mean L2 of frame-difference
-    velocities (s2g_test.py facial LVD)."""
-    pv = np.diff(pred_face, axis=0) * pose_fps
-    gv = np.diff(gt_face, axis=0) * pose_fps
-    return float(np.linalg.norm(pv - gv, axis=-1).mean())

@@ -211,12 +211,14 @@ class T2MContrastiveModel_SMPLX:
             key, jnp.zeros((1, 8, nfeats)), jnp.full((1,), 8))
         ids, mask = self.tokenizer(["init"])
         self.text_params = self.text_module.init(key, jnp.asarray(ids), jnp.asarray(mask))
+        self.pretrained_loaded = False
         if init_cfg and init_cfg.get("type") == "Pretrained":
             ckpt = init_cfg["checkpoint"]
             if os.path.isfile(ckpt):
                 from ..utils.torch_convert import load_smplx_evaluator_ckpt
                 self.motion_params, self.text_params = load_smplx_evaluator_ckpt(
                     ckpt, self.motion_params, self.text_params)
+                self.pretrained_loaded = True
             else:
                 print(f"[T2MContrastiveModel_SMPLX] checkpoint {ckpt} not found; "
                       "using random weights (metrics will not be meaningful)")
@@ -312,6 +314,7 @@ class T2MContrastiveModel:
         self.text_pos_params = self.text_pos_proj.init(key, jnp.zeros((1, self.pos_size)))
         self.text_params = self.text_gru.init(
             key, jnp.zeros((1, 2, self.word_size)), jnp.full((1,), 2))
+        self.pretrained_loaded = False
         if init_cfg and init_cfg.get("type") == "Pretrained" and os.path.isfile(
                 init_cfg["checkpoint"]):
             from ..utils.torch_convert import load_t2m_evaluator_ckpt
@@ -319,6 +322,7 @@ class T2MContrastiveModel:
              self.text_pos_params) = load_t2m_evaluator_ckpt(
                 init_cfg["checkpoint"], self.movement_params, self.motion_params,
                 self.text_params, self.text_pos_params)
+            self.pretrained_loaded = True
 
         def _enc_motion(mp, gp, motion, length):
             moves = self.movement.apply(mp, motion[..., :-4])

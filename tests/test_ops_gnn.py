@@ -144,13 +144,28 @@ class TestGestureMetrics:
         assert gahr([0.0], [10.0], 0.1) < 1e-6
 
     def test_facial_metrics(self, rng):
-        from motioncraft_tpu.eval.gesture_metrics import facial_l2, facial_lvd
+        from motioncraft_tpu.eval.gesture_metrics import (facial_l2, facial_lvd,
+                                                          facial_mse)
         a = rng.randn(10, 100).astype(np.float32)
         assert facial_l2(a, a) == 0.0
+        assert facial_mse(a, a) == 0.0
         assert facial_lvd(a, a) == 0.0
         b = a + 1.0
         assert facial_l2(a, b) == pytest.approx(10.0, rel=1e-5)
-        assert facial_lvd(a, b) == pytest.approx(0.0, abs=1e-4)  # same velocity
+        assert facial_mse(a, b) == pytest.approx(1.0, rel=1e-5)
+        # rec = gt + 1 constant offset: vel_rec = rec[1:]-gt[:-1] =
+        # gt[1:]-gt[:-1] + 1, so the asymmetric LVD sees the offset
+        assert facial_lvd(b, a) == pytest.approx(1.0, abs=1e-5)
+
+    def test_beat_align_mask_offsets(self, rng):
+        from motioncraft_tpu.eval.gesture_metrics import motion_beats
+        joints = rng.randn(100, 5, 3).astype(np.float32)
+        full = motion_beats(joints, mmae=0.01)
+        windowed = motion_beats(joints, mmae=0.01, t_start=10, t_end=90)
+        assert len(full) == len(windowed) == 5
+        # windowed beat indices are relative to t_start and within the window
+        for b in windowed:
+            assert (b < 80).all() if len(b) else True
 
 
 class TestSTGCN:

@@ -1,12 +1,19 @@
 """Speech-to-gesture evaluation harness (reference tools/s2g_test.py:50-626).
 
 Per test recording: windowed long-form generation (64-frame windows, 4-frame
-overlap, RePaint outpainting), de-normalize, then metrics:
-  - L1div over the generated poses
-  - BeatAlign: audio onsets vs FK-joint velocity beats
-  - facial L2 / LVD over the expression coefficients
-  - FID whole-body & hands via the configured evaluator model (when its
-    pretrained weights exist)
+overlap, RePaint outpainting), de-normalize, then the reference metric
+protocol (s2g_test.py:364-483):
+  - L1div over SMPL-X LBS *joints* (55x3, betas applied, zero transl)
+  - BeatAlign: audio onsets vs joint-velocity beats, align_mask=60 offsets,
+    per-joint mean-velocity normalization
+  - facial L2 (MSE) / LVD (L1 velocity) over SMPL-X face *vertices*
+    (expression + jaw posed, body zeroed)
+  - FID whole-body & hands via the SMPL-X contrastive evaluator
+
+The SMPL-X body model npz is asset-gated; without it the harness falls back
+to the approximate FK skeleton and expression *coefficients* and stamps
+``"protocol": false`` plus per-fallback flags into metrics.json so the
+numbers are never mistaken for protocol-comparable ones.
 
 Usage:
   python tools/s2g_test.py configs/stmogen/s2g_beats2_0125b.py \
@@ -52,10 +59,12 @@ def main():
     from motioncraft_tpu.data.beat2 import load_beat2_args, load_recordings
     from motioncraft_tpu.data.datasets import beat2_pose_to_smplx322
     from motioncraft_tpu.diffusion.sampling import RepaintConfig
-    from motioncraft_tpu.eval.gesture_metrics import (BeatAlign, L1div, facial_l2,
-                                                      facial_lvd)
-    from motioncraft_tpu.models.tokenizer import tokenize
+    from motioncraft_tpu.eval.gesture_metrics import (BeatAlign, L1div,
+                                                      facial_lvd, facial_mse)
+    from motioncraft_tpu.models.tokenizer import find_bpe_asset, tokenize
     from motioncraft_tpu.ops.fk import SMPLXSkeleton
+    from motioncraft_tpu.ops.smplx_lbs import (SMPLXModel, find_model_path,
+                                               pose165_parts)
     from motioncraft_tpu.registry import build_architecture
 
     cfg = Config.fromfile(args.config)
@@ -84,11 +93,24 @@ def main():
     std = np.load(bargs.std_pose_path) if bargs.std_pose_path and os.path.isfile(
         bargs.std_pose_path) else np.ones(322, np.float32)
 
-    fk = SMPLXSkeleton()
-    fk_jit = jax.jit(fk.forward)
+    # SMPL-X body model (protocol) or approximate-FK fallback, flagged
+    smplx_path = find_model_path(getattr(bargs, "smplx_model_path", None))
+    body_model = SMPLXModel.from_npz(smplx_path) if smplx_path else None
+    if body_model is None:
+        print("WARNING: SMPL-X model npz not found — joints from the "
+              "approximate FK skeleton, facial metrics on expression "
+              "coefficients. Numbers are NOT protocol-comparable.")
+        fk = SMPLXSkeleton()
+        fk_jit = jax.jit(fk.forward)
+    # per-joint mean-velocity normalizer (reference loads
+    # weights/mean_vel_<pose_rep>.npy; scalar 1.0 fallback is non-protocol)
+    mmae_path = os.path.join(
+        bargs.data_path, "weights", f"mean_vel_{getattr(bargs, 'pose_rep', 'smplxflame_30')}.npy")
+    mmae = np.load(mmae_path) if os.path.isfile(mmae_path) else 1.0
+    align_mask = int(getattr(bargs, "align_mask", 60))
     l1div = L1div()
-    beat = BeatAlign(sigma=0.3, order=7)
-    l2s, lvds, aligns = [], [], []
+    beat = BeatAlign(sigma=0.3, order=7, mmae=mmae, align_mask=align_mask)
+    align_sum, l2_sum, lvd_sum, total_length = 0.0, 0.0, 0.0, 0
     # FID embedding model (the reference embeds whole sequences with the
     # SMPL-X contrastive evaluator, s2g_test.py:313-325)
     from motioncraft_tpu.eval import build_evaluator_model
@@ -148,27 +170,55 @@ def main():
         T = len(pred322)
         gt322 = gt322[:T]
 
-        # metrics
-        l1div.run(pred322[:, :66 + 90].copy())
+        # FID embeddings (reference s2g_test.py:313-348)
         for store, seq in ((pred_embs, pred322), (gt_embs, gt322),
                            (pred_hand_embs, hands_only(pred322)),
                            (gt_hand_embs, hands_only(gt322))):
             store.append(np.asarray(fid_model.encode_motion(
                 seq[None], np.asarray([len(seq)]))))
-        # FK joints for BeatAlign: 165-d pose layout from 322
+        # rec_pose 165-d layout from 322 (reference :290-293: eyes zero)
         pose165 = np.zeros((T, 165), np.float32)
         pose165[:, :66] = pred322[:, :66]
         pose165[:, 66:69] = pred322[:, 156:159]
         pose165[:, 75:165] = pred322[:, 66:156]
-        joints = np.asarray(fk_jit(jnp.asarray(pose165), jnp.asarray(pred322[:, 309:312])))
-        aligns.append(beat.score(rec["wav"][: T * spf], joints, sr=sr, pose_fps=fps))
-        l2s.append(facial_l2(pred322[:, 209:309], gt322[:, 209:309]))
-        lvds.append(facial_lvd(pred322[:, 209:309], gt322[:, 209:309], fps))
+        if body_model is not None:
+            # protocol joints: LBS with GT betas, zero transl/expression
+            # (reference :364-378, joints_rec = first 55 joints)
+            betas = np.broadcast_to(
+                rec.get("betas", np.zeros(body_model.num_betas, np.float32)
+                        )[: body_model.num_betas].reshape(1, -1),
+                (T, body_model.num_betas))
+            joints = body_model.forward_chunked(
+                return_verts=False, betas=betas,
+                **pose165_parts(pose165))["joints"]
+            # facial vertices: expression + jaw only (reference :379-405)
+            tar_pose165 = np.zeros((T, 165), np.float32)
+            tar_pose165[:, :66] = gt322[:, :66]
+            tar_pose165[:, 66:69] = gt322[:, 156:159]
+            tar_pose165[:, 75:165] = gt322[:, 66:156]
+            facial_rec = body_model.forward_chunked(
+                betas=betas, expression=pred322[:, 209:309],
+                jaw_pose=pose165[:, 66:69])["vertices"].reshape(T, -1)
+            facial_tar = body_model.forward_chunked(
+                betas=betas, expression=gt322[:, 209:309],
+                jaw_pose=tar_pose165[:, 66:69])["vertices"].reshape(T, -1)
+        else:
+            joints = np.asarray(fk_jit(jnp.asarray(pose165),
+                                       jnp.zeros((T, 3), jnp.float32)))
+            facial_rec, facial_tar = pred322[:, 209:309], gt322[:, 209:309]
+        joints_rec = np.asarray(joints).reshape(T, -1)[:, :55 * 3]
+        l1div.run(joints_rec.copy())
+        score = beat.score(rec["wav"][: T * spf], joints_rec.reshape(T, 55, 3),
+                           sr=sr, pose_fps=fps, full_wav_len=len(rec["wav"]))
+        align_sum += score * (T - 2 * align_mask)
+        l2_sum += facial_mse(facial_rec, facial_tar) * T
+        lvd_sum += facial_lvd(facial_rec, facial_tar) * T
+        total_length += T
         if args.save_npz:
             np.savez(os.path.join(args.work_dir, f"{rec['name']}.npz"),
                      pred=pred322, gt=gt322)
         print(f"[{ri + 1}/{len(recordings)}] {rec['name']}: T={T} "
-              f"align={aligns[-1]:.4f} ({time.time() - t0:.1f}s)", flush=True)
+              f"align={score:.4f} ({time.time() - t0:.1f}s)", flush=True)
 
     from motioncraft_tpu.eval.metrics import (calculate_activation_statistics,
                                               calculate_frechet_distance)
@@ -179,11 +229,31 @@ def main():
         mu_g, cov_g = calculate_activation_statistics(ge)
         return float(calculate_frechet_distance(mu_g, cov_g, mu_p, cov_p))
 
-    metrics = {"L1div": l1div.avg(), "BeatAlign": float(np.mean(aligns)),
-               "facial_L2": float(np.mean(l2s)), "facial_LVD": float(np.mean(lvds))}
+    n_seq = len(recordings)
+    # weighted accumulation exactly as the reference (:449-459)
+    metrics = {
+        "L1div": l1div.avg(),
+        "BeatAlign": align_sum / max(total_length - 2 * n_seq * align_mask, 1),
+        "facial_L2": l2_sum / max(total_length, 1),
+        "facial_LVD": lvd_sum / max(total_length, 1),
+    }
     if len(pred_embs) > 1:
         metrics["FID_whole"] = fid(pred_embs, gt_embs)
         metrics["FID_hands"] = fid(pred_hand_embs, gt_hand_embs)
+    # honesty flags: make non-protocol runs say so in their artifacts
+    flags = {
+        "smplx_vertices": body_model is not None,
+        "mmae_asset": not np.isscalar(mmae),
+        "untrained_evaluator": not getattr(fid_model, "pretrained_loaded", False),
+        "hash_tokenizer": find_bpe_asset() is None,
+    }
+    metrics["protocol"] = (flags["smplx_vertices"] and flags["mmae_asset"]
+                           and not flags["untrained_evaluator"]
+                           and not flags["hash_tokenizer"])
+    metrics["flags"] = flags
+    if not metrics["protocol"]:
+        print("WARNING: run is NOT protocol-comparable:",
+              {k: v for k, v in flags.items()})
     print(json.dumps(metrics, indent=2))
     with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
