@@ -84,3 +84,40 @@ def load_params(path: str) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = data[key]
     return tree
+
+
+def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
+                        torch_checkpoint=None):
+    """Load evaluation weights into initialized variables.
+
+    ``torch_checkpoint`` accepts the released .pth formats: merged
+    base+control ControlT2MHalf ckpts (reference README.md:241,
+    controlnet.py:427-439), base-only STMoGen ckpts, and MCM ckpts —
+    dispatched on the config's submodule type.  ``checkpoint`` is our own
+    .npz param dump."""
+    if torch_checkpoint:
+        from .torch_convert import (load_controlnet_ckpt, load_mcm_ckpt,
+                                    load_stmogen_ckpt)
+        sub = model_cfg["model"]
+        t = sub["type"]
+        if t in ("ControlT2MHalf", "ControlT2MHalfMCM"):
+            bm = sub["base_model"]
+            te = bm.get("text_encoder", {})
+            return load_controlnet_ckpt(
+                torch_checkpoint, variables, bm["num_layers"],
+                bm.get("ffn_cfg", {}).get("num_heads", 1),
+                sub.get("copy_blocks_num", 2), te.get("num_layers", 2),
+                te.get("clip_layers", 12),
+                block_type="mcm" if "MCM" in t else "stmogen")
+        te = sub.get("text_encoder", {})
+        if t == "MCMTransformer":
+            return load_mcm_ckpt(torch_checkpoint, variables,
+                                 sub["num_layers"], te.get("num_layers", 4),
+                                 te.get("clip_layers", 12))
+        return load_stmogen_ckpt(
+            torch_checkpoint, variables, sub["num_layers"],
+            sub.get("ffn_cfg", {}).get("num_heads", 1),
+            te.get("num_layers", 2), te.get("clip_layers", 12))
+    if checkpoint:
+        return load_params(checkpoint)
+    return variables

@@ -434,3 +434,185 @@ def load_vaeskconv_ckpt(path: str, enc_params, mu_params, num_layers: int = 4):
     _tree_update(enc_params["params"], enc_tree)
     _tree_update(mu_params["params"], mu_tree)
     return enc_params, mu_params
+
+
+# --------------------------------------------------- WavEncoder / BatchNorm
+def t_bn(sd, prefix):
+    """torch BatchNorm1d -> (flax params, flax batch_stats)."""
+    return ({"scale": sd[_k(prefix, "weight")], "bias": sd[_k(prefix, "bias")]},
+            {"mean": sd[_k(prefix, "running_mean")],
+             "var": sd[_k(prefix, "running_var")]})
+
+
+def t_wav_encoder(sd, prefix):
+    """Reference WavEncoder (blocks.py:53-71: 6 BasicBlocks under
+    feat_extractor.N) -> (params, batch_stats) trees for our WavEncoder."""
+    params, stats = {}, {}
+    for i in range(6):
+        base = _k(prefix, f"feat_extractor.{i}")
+        bp, bs = {}, {}
+        bp["conv1"] = t_conv1d(sd, f"{base}.conv1")
+        bp["conv2"] = t_conv1d(sd, f"{base}.conv2")
+        for bn in ("bn1", "bn2"):
+            p, s = t_bn(sd, f"{base}.{bn}")
+            bp[bn], bs[bn] = p, s
+        if f"{base}.downsample.0.weight" in sd:
+            bp["down_conv"] = t_conv1d(sd, f"{base}.downsample.0")
+            p, s = t_bn(sd, f"{base}.downsample.1")
+            bp["down_bn"], bs["down_bn"] = p, s
+        params[f"block{i}"], stats[f"block{i}"] = bp, bs
+    return params, stats
+
+
+# ----------------------------------------------------------------- MCM
+def t_eff_attention(sd, prefix):
+    """Efficient/Base self- or cross-attention (efficient_attention.py:9-146):
+    norm [+ text_norm], query/key/value, optional StylizationBlock."""
+    out = {"norm": t_layernorm(sd, _k(prefix, "norm"))}
+    if f"{_k(prefix, 'text_norm')}.weight" in sd:
+        out["text_norm"] = t_layernorm(sd, _k(prefix, "text_norm"))
+    for name in ("query", "key", "value", "key_text", "key_motion",
+                 "value_text", "value_motion"):
+        if f"{_k(prefix, name)}.weight" in sd:
+            out[name] = t_linear(sd, _k(prefix, name))
+    if f"{_k(prefix, 'proj_out')}.norm.weight" in sd:
+        out["proj_out"] = t_stylization(sd, _k(prefix, "proj_out"))
+    return out
+
+
+def t_ffn(sd, prefix):
+    """DiffusionTransformer FFN (diffusion_transformer.py:15-28)."""
+    return {"linear1": t_linear(sd, _k(prefix, "linear1")),
+            "linear2": {"linear": t_linear(sd, _k(prefix, "linear2"))},
+            "proj_out": t_stylization(sd, _k(prefix, "proj_out"))}
+
+
+def t_mcm_layer(sd, prefix):
+    """MCM DecoderLayer (mcm.py:12-41): channel sa + dual FFN + text ca."""
+    return {"sa_block": t_eff_attention(sd, _k(prefix, "sa_block")),
+            "ca_block": t_eff_attention(sd, _k(prefix, "ca_block")),
+            "ffn_channel": t_ffn(sd, _k(prefix, "ffn_channel")),
+            "ffn_temporal": t_ffn(sd, _k(prefix, "ffn_temporal"))}
+
+
+def _convert_text_enc(sd, text_num_layers, clip_layers):
+    text = {"text_ln": t_layernorm(sd, "text_ln")}
+    if "text_pre_proj.weight" in sd:
+        text["text_pre_proj"] = t_linear(sd, "text_pre_proj")
+    if "text_proj.weight" in sd:
+        text["text_proj"] = t_linear(sd, "text_proj")
+    for i in range(text_num_layers):
+        text[f"textTransEncoder_{i}"] = t_postln_layer(
+            sd, f"textTransEncoder.layers.{i}")
+    if "clip.token_embedding.weight" in sd:
+        clip_sd = {k[len("clip."):]: v for k, v in sd.items()
+                   if k.startswith("clip.")}
+        text["clip"] = convert_clip_text(clip_sd, clip_layers)
+    return text
+
+
+def convert_mcm(sd: Dict[str, np.ndarray], num_layers: int,
+                text_num_layers: int = 4, clip_layers: int = 12) -> dict:
+    """MCMTransformer checkpoint (mcm.py:44-) -> flax param tree."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    out: dict = {
+        "time_embed": {"layers_0": t_linear(sd, "time_embed.0"),
+                       "layers_2": t_linear(sd, "time_embed.2")},
+        "joint_embed": t_linear(sd, "joint_embed"),
+        "out": {"linear": t_linear(sd, "out")},
+        "text_enc": _convert_text_enc(sd, text_num_layers, clip_layers),
+    }
+    if "sequence_embedding" in sd:
+        out["sequence_embedding"] = sd["sequence_embedding"]
+    for i in range(num_layers):
+        out[f"block_{i}"] = t_mcm_layer(sd, f"temporal_decoder_blocks.{i}")
+    return out
+
+
+def load_mcm_ckpt(path: str, variables, num_layers: int,
+                  text_num_layers: int = 4, clip_layers: int = 12):
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    tree = convert_mcm(sd, num_layers, text_num_layers, clip_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables
+
+
+# ------------------------------------------------------------- ControlNet
+def convert_controlnet(sd: Dict[str, np.ndarray], num_layers: int,
+                       num_heads: int, copy_blocks_num: int,
+                       text_num_layers: int = 2, clip_layers: int = 12,
+                       block_type: str = "stmogen"):
+    """Merged base+control checkpoint (the released S2G/M2D .pth format,
+    reference README.md:241, keys base_model.* / controlnet.N.* /
+    condition_pre_encoder.* / control_cond_input.*, controlnet.py:108-199)
+    -> (params, batch_stats) trees for ControlT2MHalf[_MCM]."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    base_sd = {k[len("base_model."):]: v for k, v in sd.items()
+               if k.startswith("base_model.")}
+    if block_type == "mcm":
+        base = convert_mcm(base_sd, num_layers, text_num_layers, clip_layers)
+    else:
+        base = convert_stmogen(base_sd, num_layers, num_heads,
+                               text_num_layers, clip_layers)
+    params: dict = {"base_model": base}
+    stats: dict = {}
+    for i in range(copy_blocks_num):
+        p = f"controlnet.{i}"
+        if block_type == "mcm":
+            copied = t_mcm_layer(sd, f"{p}.copied_block")
+        else:
+            copied = {"ca_block": t_stma(sd, f"{p}.copied_block.ca_block"),
+                      "ffn": t_sffn(sd, f"{p}.copied_block.ffn", num_heads)}
+        blk = {"copied_block": copied,
+               "after_proj": {"linear": t_linear(sd, f"{p}.after_proj")}}
+        if i == 0:
+            blk["before_proj"] = t_linear(sd, f"{p}.before_proj")
+        params[f"controlnet_{i}"] = blk
+    if any(k.startswith("condition_pre_encoder.") for k in sd):
+        wp, ws = t_wav_encoder(sd, "condition_pre_encoder.pre_encoder")
+        params["condition_pre_encoder"] = wp
+        stats["condition_pre_encoder"] = ws
+    params["control_cond_input"] = {"linear": t_linear(sd, "control_cond_input")}
+    return params, stats
+
+
+def load_controlnet_ckpt(path: str, variables, num_layers: int, num_heads: int,
+                         copy_blocks_num: int, text_num_layers: int = 2,
+                         clip_layers: int = 12, block_type: str = "stmogen"):
+    """Load a released merged base+control .pth into ControlT2MHalf variables.
+
+    Falls back to the legacy base-only format (raw STMoGen keys, remapped as
+    controlnet.py:427-439) when no base_model.* keys exist: only the frozen
+    base branch is filled, control weights stay at their zero init."""
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    flat = {k[len("model."):] if k.startswith("model.") else k: v
+            for k, v in sd.items()}
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    if any(k.startswith("base_model.") for k in flat):
+        params, stats = convert_controlnet(
+            flat, num_layers, num_heads, copy_blocks_num, text_num_layers,
+            clip_layers, block_type)
+        _tree_update(variables["params"], params)
+        if stats and "batch_stats" in variables:
+            _tree_update(variables["batch_stats"], stats)
+    else:
+        # legacy base-only format; older ControlNet-era ckpts nest block
+        # params under '.base_block.' (what the reference remap normalizes
+        # toward, controlnet.py:427-439) — our flax base tree uses plain
+        # block names, so strip that segment if present
+        pat = re.compile(r"^(temporal_decoder_blocks\.\d+)\.base_block\.")
+        remapped = {pat.sub(r"\1.", k): v for k, v in flat.items()}
+        if block_type == "mcm":
+            base = convert_mcm(remapped, num_layers, text_num_layers, clip_layers)
+        else:
+            base = convert_stmogen(remapped, num_layers, num_heads,
+                                   text_num_layers, clip_layers)
+        _tree_update(variables["params"]["base_model"], base)
+    return variables

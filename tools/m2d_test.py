@@ -24,6 +24,8 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="released merged base+control .pth")
     p.add_argument("--work-dir", default="outputs/m2d_eval")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
@@ -92,9 +94,10 @@ def main():
         if variables is None:
             variables = arch.init(jax.random.PRNGKey(args.seed),
                                   make_window_batch(0, window))
-            if args.checkpoint:
-                from motioncraft_tpu.utils.checkpoint import load_params
-                variables = load_params(args.checkpoint)
+            from motioncraft_tpu.utils.checkpoint import load_eval_variables
+            variables = load_eval_variables(
+                cfg.model, variables, checkpoint=args.checkpoint,
+                torch_checkpoint=args.torch_checkpoint)
 
         rng, sub = jax.random.split(rng)
         norm_pred = windowed_sample(arch, variables, make_window_batch,

@@ -78,15 +78,10 @@ def main():
         batch0 = {k: jnp.asarray(v) for k, v in batch0.items()
                   if isinstance(v, np.ndarray) and np.issubdtype(v.dtype, np.number)}
         variables = arch.init(jax.random.PRNGKey(args.seed), batch0)
-        if args.torch_checkpoint:
-            from motioncraft_tpu.utils.torch_convert import load_stmogen_ckpt
-            m = cfg.model["model"]
-            variables = load_stmogen_ckpt(
-                args.torch_checkpoint, variables, m["num_layers"],
-                m["ffn_cfg"]["num_heads"])
-        elif args.checkpoint:
-            from motioncraft_tpu.utils.checkpoint import load_params
-            variables = load_params(args.checkpoint)
+        from motioncraft_tpu.utils.checkpoint import load_eval_variables
+        variables = load_eval_variables(
+            cfg.model, variables, checkpoint=args.checkpoint,
+            torch_checkpoint=args.torch_checkpoint)
 
     from motioncraft_tpu.apis.test import single_device_test
     t0 = time.time()
