@@ -229,28 +229,36 @@ def init_control_blocks_from_base(params: dict, copy_blocks_num: int) -> dict:
     return params
 
 
+# reference set_requires_grad selective-unfreeze modes (misc.py:16-75):
+# which body-part embed/out heads stay TRAINABLE under each mode
+UNFREEZE_MODE_PARTS = {
+    "root": {"trans", "root", "body"},
+    "root_face": {"trans", "root", "body", "face"},
+    "root_hand": {"trans", "root", "body", "lhand", "rhand"},
+    "root_face_hand": {"trans", "root", "body", "face", "lhand", "rhand"},
+}
+
+_ALL_PARTS = ("head", "stem", "larm", "rarm", "lleg", "rleg",
+              "root", "trans", "face", "lhand", "rhand", "body")
+
+
 def controlnet_frozen_prefixes(joint_embed_unfreeze: bool = True,
                                unfreeze_mode: str = "all") -> List[str]:
     """Optimizer-mask prefixes implementing the reference's set_requires_grad
     dance (controlnet.py:125-148): freeze base text towers, time embed,
     decoder blocks, sequence embedding; optionally unfreeze joint embed/out
-    (fully or per body part)."""
+    (fully or per body-part mode, misc.py:16-75)."""
     frozen = ["base_model/text_enc", "base_model/time_embed",
               "base_model/sequence_embedding"]
     frozen += [f"base_model/block_"]  # all base decoder layers
     if not joint_embed_unfreeze:
         frozen += ["base_model/joint_embed", "base_model/out"]
     elif unfreeze_mode != "all":
-        # selective: freeze everything except the named part's embed/out heads
-        part = unfreeze_mode  # e.g. 'face', 'lhand'
+        keep = UNFREEZE_MODE_PARTS[unfreeze_mode]
         frozen += [f"base_model/joint_embed/{p}_embed"
-                   for p in ("head", "stem", "larm", "rarm", "lleg", "rleg",
-                             "root", "trans", "face", "lhand", "rhand", "body")
-                   if not p.startswith(part)]
+                   for p in _ALL_PARTS if p not in keep]
         frozen += [f"base_model/out/{p}_out"
-                   for p in ("head", "stem", "larm", "rarm", "lleg", "rleg",
-                             "root", "trans", "face", "lhand", "rhand", "body")
-                   if not p.startswith(part)]
+                   for p in _ALL_PARTS if p not in keep]
     return frozen
 
 

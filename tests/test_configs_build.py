@@ -1,0 +1,57 @@
+"""Every config in configs/ must load and build its architecture.
+
+Catches config-schema drift permanently: flax modules are dataclasses, so
+``build_architecture`` validates every model kwarg without allocating params.
+The stmogen tree must mirror the reference's 11 variants
+(/root/reference/configs/stmogen/*)."""
+
+import glob
+import os
+
+import pytest
+
+import motioncraft_tpu.models  # noqa: F401
+from motioncraft_tpu.config import Config
+from motioncraft_tpu.registry import build_architecture
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs", "**", "*.py"),
+                         recursive=True)
+    if "_base_" not in p and not os.path.basename(p).startswith("_"))
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=lambda p: os.path.relpath(p, REPO))
+def test_config_builds(path):
+    cfg = Config.fromfile(path)
+    assert "model" in cfg, f"{path} has no model section"
+    arch = build_architecture(cfg.model)
+    assert arch is not None
+
+
+def test_stmogen_tree_matches_reference_count():
+    """The reference ships 11 stmogen variants; ours must cover all of them
+    (T2M humanml3d + motionx_align + mix x3 sizes, S2G x3, M2D x3)."""
+    ours = [p for p in CONFIGS if os.sep + "stmogen" + os.sep in p]
+    assert len(ours) >= 11, sorted(os.path.basename(p) for p in ours)
+
+
+def test_variant_overrides_apply():
+    cfg = Config.fromfile(os.path.join(REPO, "configs", "stmogen",
+                                       "s2g_beats2_025b.py"))
+    assert cfg.model["model"]["base_model"]["num_layers"] == 8
+    cfg = Config.fromfile(os.path.join(REPO, "configs", "stmogen",
+                                       "s2g_beats2_0125b_local_unfreeze.py"))
+    assert cfg.model["model"]["unfreeze_mode"] == "root_face_hand"
+    cfg = Config.fromfile(os.path.join(REPO, "configs", "stmogen",
+                                       "m2d_finedance.py"))
+    assert cfg.model["model"]["base_model"]["ca_block_cfg"]["latent_dim"] == 64
+    assert cfg.model["model"]["base_model"]["ca_block_cfg"]["ffn_dim"] == 256
+    cfg = Config.fromfile(os.path.join(REPO, "configs", "stmogen",
+                                       "t2m_motionx_align.py"))
+    assert cfg.model["face_no_loss"] is False
+    assert cfg.data["train"]["type"] == "RepeatDataset"
+    cfg = Config.fromfile(os.path.join(REPO, "configs", "stmogen",
+                                       "m2d_finedance_0125b.py"))
+    assert cfg.data["test"]["type"] == "FinedanceMotionDataset"
+    assert cfg.model["model"]["condition_encode_cfg"]["condition_pre_encode"] is False

@@ -122,9 +122,16 @@ class TestControlNet:
     def test_frozen_prefixes(self):
         pref = controlnet_frozen_prefixes(True, "all")
         assert "base_model/text_enc" in pref and "base_model/block_" in pref
-        pref_face = controlnet_frozen_prefixes(True, "face")
-        assert "base_model/joint_embed/lhand_embed" in pref_face
-        assert "base_model/joint_embed/face_embed" not in pref_face
+        # reference modes (misc.py:16-75)
+        pref_rfh = controlnet_frozen_prefixes(True, "root_face_hand")
+        for kept in ("face", "lhand", "rhand", "root", "trans", "body"):
+            assert f"base_model/joint_embed/{kept}_embed" not in pref_rfh
+            assert f"base_model/out/{kept}_out" not in pref_rfh
+        for frz in ("head", "stem", "larm", "rarm", "lleg", "rleg"):
+            assert f"base_model/joint_embed/{frz}_embed" in pref_rfh
+        pref_rh = controlnet_frozen_prefixes(True, "root_hand")
+        assert "base_model/joint_embed/face_embed" in pref_rh
+        assert "base_model/joint_embed/lhand_embed" not in pref_rh
 
     def test_train_loss_with_condition(self, ctrl_arch):
         arch, variables, batch = ctrl_arch
