@@ -13,7 +13,10 @@ Re-implements the capability of the vendored EMAGE loader
 
 Instead of an LMDB+pyarrow cache we cache windows as a single compressed .npz
 per (split, speakers, window) config — no native DB dependency, loads in one
-mmap-able read, trivially shardable across hosts.
+mmap-able read, trivially shardable across hosts.  Pre-built reference LMDB
+caches are ALSO readable (``Beat2LmdbDataset``): same ``{:005}`` ascii key
+layout and 9-tuple sample schema as beat_motionx.py:206-234,747-773, with
+legacy-pyarrow or pickle value deserialization.
 """
 
 from __future__ import annotations
@@ -165,6 +168,12 @@ class Beat2WindowDataset:
     def __init__(self, args: SimpleNamespace, split: str = "train"):
         self.args = args
         self.split = split
+        lmdb_dir = find_lmdb_cache(args, split)
+        if lmdb_dir and not args.new_cache:
+            vocab = load_vocab(os.path.join(args.data_path, "weights", "vocab.pkl"))
+            lm = Beat2LmdbDataset(lmdb_dir, vocab=vocab)
+            self._windows = [lm.window(i) for i in range(len(lm))]
+            return
         cache = self._cache_file()
         if cache and os.path.isfile(cache) and not args.new_cache:
             data = np.load(cache, allow_pickle=True)
@@ -247,3 +256,125 @@ class Beat2WindowDataset:
 
     def __getitem__(self, idx):
         return self._windows[idx]
+
+
+# ------------------------------------------------------- reference LMDB cache
+def deserialize_lmdb_sample(buf: bytes):
+    """Decode one cached sample: legacy ``pyarrow.deserialize`` (what the
+    reference wrote, beat_motionx.py:751) when the installed pyarrow still
+    has it, else pickle (our own writer / EMAGE's newer caches)."""
+    try:
+        import pyarrow
+        if hasattr(pyarrow, "deserialize"):
+            try:
+                return pyarrow.deserialize(buf)
+            except Exception:
+                pass
+    except ImportError:
+        pass
+    import pickle
+    return pickle.loads(buf)
+
+
+class _TolerantUnpickler:
+    """Unpickle objects whose defining module is absent (e.g. the EMAGE
+    ``Vocab`` class from dataloaders.build_vocab): unknown classes become
+    plain attribute bags."""
+
+    def __call__(self, fileobj):
+        import pickle
+
+        class Bag:
+            def __setstate__(self, state):
+                self.__dict__.update(state if isinstance(state, dict) else {})
+
+        class U(pickle.Unpickler):
+            def find_class(self, module, name):
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    return type(name, (Bag,), {})
+
+        return U(fileobj).load()
+
+
+def load_vocab(path: str):
+    """EMAGE vocab.pkl -> {index: word} (beat_motionx.py:91-93)."""
+    if not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        obj = _TolerantUnpickler()(f)
+    idx2word = getattr(obj, "index2word", None) or (
+        obj.get("index2word") if isinstance(obj, dict) else None)
+    return dict(idx2word) if idx2word else None
+
+
+class Beat2LmdbDataset:
+    """Read a pre-built EMAGE/MotionCraft BEAT2 LMDB cache.
+
+    Key layout and value schema follow beat_motionx.py:747-773: ascii keys
+    ``"{:005}".format(idx)``; values are 9-tuples (pose, audio, facial,
+    shape, word, emo, sem, vid, trans).  Pass ``env`` directly to use a
+    custom backend (tests inject a dict-backed stub; lmdb is optional)."""
+
+    def __init__(self, lmdb_dir: Optional[str] = None, env=None,
+                 vocab: Optional[dict] = None):
+        if env is None:
+            try:
+                import lmdb
+            except ImportError as e:
+                raise ImportError(
+                    "reading a pre-built BEAT2 LMDB cache requires the 'lmdb' "
+                    "package (pip install lmdb)") from e
+            env = lmdb.open(lmdb_dir, readonly=True, lock=False)
+        self.env = env
+        with self.env.begin(write=False) as txn:
+            self.n_samples = txn.stat()["entries"]
+        self.vocab = vocab
+
+    def __len__(self):
+        return self.n_samples
+
+    def __getitem__(self, idx: int) -> Dict:
+        with self.env.begin(write=False) as txn:
+            buf = txn.get("{:005}".format(idx).encode("ascii"))
+        if buf is None:
+            raise IndexError(idx)
+        (pose, audio, facial, shape, word, emo, sem, vid,
+         trans) = deserialize_lmdb_sample(buf)
+        return {"pose": np.asarray(pose, np.float32),
+                "audio": np.asarray(audio, np.float32),
+                "facial": np.asarray(facial, np.float32),
+                "beta": np.asarray(shape, np.float32),
+                "word": np.asarray(word),
+                "emo": np.asarray(emo), "sem": np.asarray(sem),
+                "id": np.asarray(vid), "trans": np.asarray(trans, np.float32)}
+
+    def window(self, idx: int) -> Dict:
+        """Sample -> Beat2WindowDataset-style window dict."""
+        s = self[idx]
+        pose = s["pose"].reshape(len(s["pose"]), -1)
+        win = {"pose": pose[:, :165], "facial": s["facial"], "trans": s["trans"],
+               "audio": s["audio"] if s["audio"].ndim == 2 else s["audio"][:, None],
+               "name": f"lmdb_{idx:05d}", "start": 0, "beta": s["beta"]}
+        words: List[str] = []
+        if self.vocab is not None:
+            for wid in np.asarray(s["word"]).reshape(-1).tolist():
+                w = self.vocab.get(int(wid))
+                if w and w not in ("<pad>", "<unk>") and (not words or words[-1] != w):
+                    words.append(w)
+        win["words"] = words
+        return win
+
+
+def find_lmdb_cache(args: SimpleNamespace, split: str) -> Optional[str]:
+    """Locate a pre-built reference cache dir for a split: the reference
+    writes {root}{cache_path}{split}/{pose_rep}_cache (beat_motionx.py:94)."""
+    cp = getattr(args, "cache_path", None)
+    if not cp:
+        return None
+    for cand in (os.path.join(cp, split, f"{args.pose_rep}_cache"),
+                 os.path.join(cp, f"{args.pose_rep}_cache"), cp):
+        if os.path.isfile(os.path.join(cand, "data.mdb")):
+            return cand
+    return None

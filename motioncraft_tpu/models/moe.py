@@ -17,11 +17,16 @@ tokens exactly as Tutel's capacity_factor does.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# read ONCE at import: a trace-time os.environ read inside a module __call__
+# is a hidden cache-key/reproducibility hazard
+_ENV_RAGGED = os.environ.get("MOTIONCRAFT_MOE_RAGGED")
 
 from ..ops.pallas_ffn import expert_ffn
 from ..ops.pallas_moe import moe_positions
@@ -88,6 +93,21 @@ class MoELayer(nn.Module):
     capacity_factor: float = 1.5
     batch_prioritized: bool = True
     expert_axis: Optional[str] = None  # mesh axis name for expert sharding
+    # inference dispatch: 'ragged' (rank-compact lax.ragged_dot), 'slots'
+    # (padded [E, capacity] buffers), or 'auto' (ragged on TPU; the
+    # MOTIONCRAFT_MOE_RAGGED env var, read once at import, can force it)
+    dispatch_mode: str = "auto"
+
+    def _use_ragged(self, train: bool) -> bool:
+        if train or self.expert_axis is not None:
+            return False
+        if self.dispatch_mode == "auto":
+            if _ENV_RAGGED == "1":
+                return True
+            if _ENV_RAGGED == "0":
+                return False
+            return jax.default_backend() == "tpu"
+        return self.dispatch_mode == "ragged"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -148,12 +168,7 @@ class MoELayer(nn.Module):
 
         token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                                      (N, K)).reshape(-1)
-        import os
-        ragged_env = os.environ.get("MOTIONCRAFT_MOE_RAGGED")
-        use_ragged = (not train and self.expert_axis is None
-                      and (ragged_env == "1"
-                           or (jax.default_backend() == "tpu" and ragged_env != "0")))
-        if use_ragged:
+        if self._use_ragged(train):
             # Rank-compact dispatch + lax.ragged_dot (megablocks-style): the
             # kept (token, k) choices occupy M = K*N rows sorted by expert
             # (rank = offset[e] + position), so the expert FFN runs grouped

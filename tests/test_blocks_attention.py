@@ -264,18 +264,16 @@ def test_efficient_self_attention_merged_lanes_parity():
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
 
 
-def test_moe_ragged_dispatch_parity(monkeypatch):
-    """The rank-compact ragged_dot dispatch equals the slot-buffer path."""
+def test_moe_ragged_dispatch_parity():
+    """The rank-compact ragged_dot dispatch equals the slot-buffer path
+    (dispatch_mode is a module attribute, not a trace-time env read)."""
     import numpy as np
     from motioncraft_tpu.models.moe import MoELayer
     rng = np.random.RandomState(0)
     N, D, E, K = 3000, 32, 8, 2
     x = jnp.asarray(rng.randn(N, D), jnp.float32)
-    moe = MoELayer(E, K, D, D * 2)
-    p = moe.init(jax.random.PRNGKey(0), x)
-    monkeypatch.setenv("MOTIONCRAFT_MOE_RAGGED", "0")
-    y_slots, _ = moe.apply(p, x)
-    monkeypatch.setenv("MOTIONCRAFT_MOE_RAGGED", "1")
-    y_ragged, _ = moe.apply(p, x)
+    p = MoELayer(E, K, D, D * 2, dispatch_mode="slots").init(jax.random.PRNGKey(0), x)
+    y_slots, _ = MoELayer(E, K, D, D * 2, dispatch_mode="slots").apply(p, x)
+    y_ragged, _ = MoELayer(E, K, D, D * 2, dispatch_mode="ragged").apply(p, x)
     np.testing.assert_allclose(np.asarray(y_slots), np.asarray(y_ragged),
                                atol=2e-5, rtol=2e-5)
