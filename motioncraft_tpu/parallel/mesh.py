@@ -18,17 +18,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 EXPERT_AXIS = "expert"
+DCN_AXIS = "dcn"
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host entry (the reference's init_dist / torch.distributed.launch
+    equivalent, tools/dist_train.sh:8-9 + mmcv init_dist).
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    other platforms pass them explicitly (or set JAX coordination env vars).
+    Safe to call when single-process: becomes a no-op.  Returns process_id.
+    """
+    if num_processes == 1 or (coordinator_address is None
+                              and num_processes is None
+                              and jax.process_count() == 1
+                              and "JAX_COORDINATOR_ADDRESS" not in
+                              __import__("os").environ):
+        return jax.process_index()
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index()
 
 
 def create_mesh(n_devices: Optional[int] = None,
                 axes: Tuple[str, ...] = (DATA_AXIS, EXPERT_AXIS),
-                shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+                shape: Optional[Tuple[int, ...]] = None,
+                dcn_axis: bool = False) -> Mesh:
     """Build a mesh over the first n devices.
 
     Default factorization puts as much as possible on ``data`` and up to 2 on
     ``expert`` (experts are small; data-parallel is the scaling axis for
     <=0.25B models, matching the reference's 8-GPU DDP recipe).
+
+    With ``dcn_axis`` (multi-slice / multi-host over data-center network) the
+    leading axis is ``dcn`` with one entry per process, laid out so that the
+    slower DCN links only carry the gradient all-reduce for that axis while
+    ``data``/``expert`` collectives stay on ICI — use
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` semantics.
     """
+    if dcn_axis:
+        from jax.experimental import mesh_utils
+        n_proc = jax.process_count()
+        per_proc = len(jax.devices()) // n_proc
+        expert = 2 if per_proc % 2 == 0 and per_proc >= 2 else 1
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, per_proc // expert, expert),
+            dcn_mesh_shape=(n_proc, 1, 1),
+            # group by process when devices don't expose slice_index
+            # (CPU-simulated meshes; on TPU pods slices are processes anyway)
+            process_is_granule=not hasattr(jax.devices()[0], "slice_index"))
+        return Mesh(dev_array, (DCN_AXIS,) + tuple(axes[:2]))
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
     if shape is None:
@@ -42,7 +89,10 @@ def create_mesh(n_devices: Optional[int] = None,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading batch dim over the data axis; replicate the rest."""
+    """Shard the leading batch dim over the data axis (and dcn when present);
+    replicate the rest."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

@@ -106,3 +106,19 @@ class TestDataPrep:
         feats = np.load(tmp_path / "out" / "001.npy")
         assert feats.shape == (8, 319)
         assert set(np.unique(feats[:, :4])).issubset({0.0, 1.0})
+
+
+class TestMultiHost:
+    def test_init_distributed_noop_single_process(self):
+        from motioncraft_tpu.parallel import init_distributed
+        assert init_distributed(num_processes=1) == 0
+
+    def test_dcn_mesh_axes_and_batch_sharding(self):
+        from motioncraft_tpu.parallel import batch_sharding, create_mesh
+        from jax.sharding import PartitionSpec as P
+        mesh = create_mesh(dcn_axis=True)  # single process -> dcn axis = 1
+        assert mesh.axis_names == ("dcn", "data", "expert")
+        assert mesh.shape["dcn"] == 1
+        assert mesh.shape["data"] * mesh.shape["expert"] == 8
+        sh = batch_sharding(mesh)
+        assert sh.spec == P(("dcn", "data"))

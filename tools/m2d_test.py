@@ -151,6 +151,16 @@ def main():
     n_div = min(len(pe) - 1, 300)
     if n_div > 1:
         metrics["Diversity"] = float(calculate_diversity(pe, n_div))
+    # honesty flags: non-protocol runs must say so in their artifacts
+    from motioncraft_tpu.models.tokenizer import find_bpe_asset
+    flags = {
+        "untrained_evaluator": not getattr(ev, "pretrained_loaded", False),
+        "hash_tokenizer": find_bpe_asset() is None,
+    }
+    metrics["protocol"] = not any(flags.values())
+    metrics["flags"] = flags
+    if not metrics["protocol"]:
+        print("WARNING: run is NOT protocol-comparable:", flags)
     print(json.dumps(metrics, indent=2))
     with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)

@@ -93,8 +93,20 @@ def main():
                                args.work_dir)
     for k, v in metrics.items():
         print(f"{k}: {float(v):.4f}")
+    out = {k: float(v) for k, v in metrics.items()}
+    # honesty flags: non-protocol runs must say so in their artifacts
+    from motioncraft_tpu.models.tokenizer import find_bpe_asset
+    ev = getattr(dataset, "evaluator_model", None)
+    flags = {
+        "untrained_evaluator": not getattr(ev, "pretrained_loaded", False),
+        "hash_tokenizer": find_bpe_asset() is None,
+    }
+    out["protocol"] = not any(flags.values())
+    out["flags"] = flags
+    if not out["protocol"]:
+        print("WARNING: run is NOT protocol-comparable:", flags)
     with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
-        json.dump({k: float(v) for k, v in metrics.items()}, f, indent=2)
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

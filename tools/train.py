@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize + dcn mesh axis "
+                        "(multi-slice / multi-host; the reference's "
+                        "torch.distributed.launch equivalent)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -49,7 +53,7 @@ def main():
     from motioncraft_tpu.config import Config, cfg_options_from_args
     from motioncraft_tpu.data import build_dataloader
     from motioncraft_tpu.apis.train import train_model
-    from motioncraft_tpu.parallel import create_mesh
+    from motioncraft_tpu.parallel import create_mesh, init_distributed
     from motioncraft_tpu.registry import build_architecture
     from motioncraft_tpu.utils.checkpoint import save_checkpoint, save_params, load_checkpoint, latest_step
     from motioncraft_tpu.utils.logger import get_root_logger
@@ -66,7 +70,9 @@ def main():
     dataset = build_train_dataset(cfg.data)
     loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
                               shuffle=True, seed=args.seed)
-    mesh = create_mesh(args.devices)
+    if args.multihost:
+        init_distributed()
+    mesh = create_mesh(args.devices, dcn_axis=args.multihost)
     logger.info(f"mesh: {dict(mesh.shape)}; dataset: {len(dataset)} samples, "
                 f"{len(loader)} steps/epoch")
 
