@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small model + batch smoke run")
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
                     help="denoiser compute dtype (diffusion math stays f32)")
+    ap.add_argument("--no-s2g", action="store_true",
+                    help="skip the long-form S2G windows/min secondary metric")
     args = ap.parse_args()
 
     from motioncraft_tpu.apis import (build_flagship, flagship_t2m_cfg, make_text_batch,
@@ -97,7 +99,55 @@ def main():
         "unit": "motions/min",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
     }
+    if not args.no_s2g and not args.quick:
+        try:
+            result["s2g_windows_per_min"] = round(bench_s2g_windows(), 2)
+        except Exception as e:  # secondary metric must never kill the bench
+            print(f"bench: s2g secondary metric failed: {e}", file=sys.stderr)
     print(json.dumps(result))
+
+
+def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30):
+    """Long-form S2G throughput: RePaint-outpainted 64-frame windows at B=1
+    over a synthetic recording (the reference protocol's hot loop,
+    tools/s2g_test.py:120-260).  Steady-state windows/min, one compile."""
+    from motioncraft_tpu.apis import flagship_s2g_cfg, make_text_batch
+    from motioncraft_tpu.apis.windowed import windowed_sample
+    from motioncraft_tpu.diffusion.sampling import RepaintConfig
+    from motioncraft_tpu.registry import build_architecture
+
+    arch = build_architecture(flagship_s2g_cfg(window=window))
+    spf = sr // fps
+    rng_np = np.random.RandomState(0)
+    audio = rng_np.randn(total_frames * spf, 2).astype(np.float32)
+
+    def make_window_batch(start, end):
+        batch = make_text_batch(["a person is doing a speech"], max_seq_len=window)
+        batch["c"] = jnp.asarray(audio[start * spf:end * spf])[None]
+        return batch
+
+    variables = arch.init(jax.random.PRNGKey(0), make_window_batch(0, window))
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
+        variables)
+    repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
+                            jump_n_sample=2)
+    kw = dict(make_window_batch=make_window_batch, total_frames=total_frames,
+              window=window, pre_frames=pre, use_repaint=True, repaint=repaint)
+    t0 = time.time()
+    windowed_sample(arch, variables, rng=jax.random.PRNGKey(1), **kw)
+    print(f"bench: s2g compile+first recording {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    n_rec = 3
+    t0 = time.time()
+    for i in range(n_rec):
+        windowed_sample(arch, variables, rng=jax.random.PRNGKey(2 + i), **kw)
+    dt = time.time() - t0
+    from motioncraft_tpu.apis.windowed import num_windows
+    n_win = num_windows(total_frames, window, pre) * n_rec
+    print(f"bench: s2g {n_win} windows in {dt:.1f}s", file=sys.stderr)
+    return n_win / dt * 60.0
 
 
 if __name__ == "__main__":

@@ -1,5 +1,6 @@
 from .eval_hook import EvalHook
-from .factory import (build_flagship, flagship_t2m_cfg, make_text_batch,
+from .factory import (build_flagship, flagship_s2g_cfg,
+                      flagship_t2m_cfg, make_text_batch,
                       tiny_t2m_cfg)
 from .test import multi_host_test, single_device_test
 from .train import make_train_step, set_random_seed, train_model

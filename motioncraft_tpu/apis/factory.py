@@ -96,3 +96,26 @@ def make_text_batch(texts, max_seq_len: int = 196, input_feats: int = 322,
         "motion_length": jnp.asarray(lengths, jnp.int32),
         "text_ids": jnp.asarray(tokenize(list(texts))),
     }
+
+
+def flagship_s2g_cfg(window: int = 64, **kw) -> dict:
+    """Flagship S2G: ControlNet branch over the 0.125B T2M base at 64-frame
+    windows with raw-audio WavEncoder conditioning (configs/stmogen/
+    s2g_beats2_0125b.py schema)."""
+    base = flagship_t2m_cfg(max_seq_len=window, **kw)
+    base_model = base["model"]
+    latent = base_model["latent_dim"]
+    cfg = dict(base)
+    cfg["model"] = dict(
+        type="ControlT2MHalf", base_model=base_model, copy_blocks_num=2,
+        control_cond_feats=2,
+        condition_encode_cfg=dict(dataset_name="beats2",
+                                  condition_pre_encode=True,
+                                  condition_pre_encode_type="wav",
+                                  control_cond_feats=2,
+                                  condition_latent_dim=latent,
+                                  condition_cfg=True))
+    cfg["repaint"] = dict(overlap_len=4, add_blend=True,
+                          same_overlap_noisy=False, jump_length=3,
+                          jump_n_sample=2)
+    return cfg

@@ -84,54 +84,21 @@ def _render_skeleton(poses: np.ndarray, trans: np.ndarray, out_video: str,
 
 
 def _render_mesh(poses, trans, data, out_video, model_path, audio_path, fps):
-    """pyrender offscreen mesh render (other_tools.render_one_sequence_wo_gt
-    equivalent); requires smplx + pyrender + optionally moviepy for audio."""
-    import smplx
-    import torch
-    import pyrender
-    import trimesh
-    import imageio
+    """Frame-parallel pyrender mesh video (fast_render.py:13-122 equivalent):
+    vertices from the JAX LBS body model (only the SMPL-X npz asset needed),
+    rendered by a spawn pool of pyrender workers, muxed with imageio."""
+    from ..ops.smplx_lbs import find_model_path
+    from .fast_render import (render_frames_multiprocess,
+                              smplx_vertices_for_render)
 
+    npz = find_model_path(os.path.join(model_path, "smplx",
+                                       "SMPLX_NEUTRAL_2020.npz"))
     T = len(poses)
-    model = smplx.create(model_path, model_type="smplx", gender="NEUTRAL_2020",
-                         use_face_contour=False, num_betas=300,
-                         num_expression_coeffs=100, ext="npz",
-                         use_pca=False).eval()
-    betas = torch.zeros(T, 300)
-    exps = torch.from_numpy(np.asarray(data.get("expressions",
-                                                np.zeros((T, 100))))).float()
-    pt = torch.from_numpy(poses).float()
-    out = model(betas=betas, transl=torch.from_numpy(trans).float(),
-                expression=exps, jaw_pose=pt[:, 66:69],
-                global_orient=pt[:, :3], body_pose=pt[:, 3:66],
-                left_hand_pose=pt[:, 75:120], right_hand_pose=pt[:, 120:165],
-                leye_pose=pt[:, 69:72], reye_pose=pt[:, 72:75],
-                return_verts=True)
-    vertices = out.vertices.detach().numpy()
-    faces = model.faces
-
-    renderer = pyrender.OffscreenRenderer(640, 480)
-    frames = []
-    for t in range(T):
-        mesh = trimesh.Trimesh(vertices[t], faces)
-        scene = pyrender.Scene()
-        scene.add(pyrender.Mesh.from_trimesh(mesh))
-        cam = pyrender.PerspectiveCamera(yfov=np.pi / 3)
-        cam_pose = np.eye(4)
-        cam_pose[2, 3] = 3.0
-        scene.add(cam, pose=cam_pose)
-        scene.add(pyrender.DirectionalLight(intensity=3.0), pose=cam_pose)
-        color, _ = renderer.render(scene)
-        frames.append(color)
-    imageio.mimwrite(out_video, frames, fps=fps)
-    if audio_path and os.path.isfile(audio_path):
-        try:
-            import moviepy.editor as mpy
-            clip = mpy.VideoFileClip(out_video)
-            clip = clip.set_audio(mpy.AudioFileClip(audio_path))
-            muxed = os.path.splitext(out_video)[0] + "_audio.mp4"
-            clip.write_videofile(muxed, logger=None)
-            return muxed
-        except Exception:
-            pass
-    return out_video
+    vertices, faces = smplx_vertices_for_render(
+        poses, trans,
+        expressions=np.asarray(data["expressions"], np.float32)
+        if "expressions" in data else None,
+        betas=np.asarray(data["betas"], np.float32) if "betas" in data else None,
+        model_path=npz)
+    return render_frames_multiprocess(vertices, faces, out_video, fps=fps,
+                                      audio_path=audio_path)
