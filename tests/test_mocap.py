@@ -1,0 +1,99 @@
+"""Mocap preprocessing toolkit (pymo-equivalent capabilities)."""
+
+import numpy as np
+import pytest
+
+from motioncraft_tpu.data.bvh import BVHData, BVHJoint, parse_bvh
+from motioncraft_tpu.data.mocap import (downsample, euler_to_expmap,
+                                        forward_kinematics, remove_constants,
+                                        root_centric_positions, root_deltas,
+                                        select_joints, write_bvh)
+
+
+def chain_bvh(T=4):
+    """Root -> child (offset +1y) -> end; root has pos+rot channels."""
+    joints = [
+        BVHJoint("Hips", None, np.zeros(3),
+                 ["Xposition", "Yposition", "Zposition",
+                  "Zrotation", "Xrotation", "Yrotation"], 0),
+        BVHJoint("Spine", 0, np.array([0.0, 1.0, 0.0]),
+                 ["Zrotation", "Xrotation", "Yrotation"], 6),
+        BVHJoint("Spine_end", 1, np.array([0.0, 0.5, 0.0]), [], 9),
+    ]
+    frames = np.zeros((T, 9), np.float32)
+    return BVHData(joints=joints, frames=frames, frame_time=1 / 30)
+
+
+def test_fk_identity_pose_is_offsets():
+    data = chain_bvh()
+    P = forward_kinematics(data)
+    np.testing.assert_allclose(P[:, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(P[:, 1], [[0.0, 1.0, 0.0]] * 4, atol=1e-6)
+    np.testing.assert_allclose(P[:, 2], [[0.0, 1.5, 0.0]] * 4, atol=1e-6)
+
+
+def test_fk_root_rotation_rotates_children():
+    data = chain_bvh(T=1)
+    data.frames[0, 3] = 90.0  # root Zrotation 90 deg: +y offset -> -x
+    P = forward_kinematics(data)
+    np.testing.assert_allclose(P[0, 1], [-1.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(P[0, 2], [-1.5, 0.0, 0.0], atol=1e-6)
+
+
+def test_fk_translation_and_root_deltas():
+    data = chain_bvh(T=3)
+    data.frames[:, 0] = [0.0, 1.0, 2.0]  # x moves 1/frame
+    P = forward_kinematics(data)
+    np.testing.assert_allclose(P[:, 0, 0], [0.0, 1.0, 2.0], atol=1e-6)
+    d = root_deltas(P, fps=30)
+    np.testing.assert_allclose(d[1:, 0], 30.0, atol=1e-4)  # dx * fps
+
+
+def test_expmap_angle_magnitude():
+    data = chain_bvh(T=1)
+    data.frames[0, 6] = 45.0  # spine Zrotation
+    e = euler_to_expmap(data)
+    assert e.shape == (1, 3, 3)
+    np.testing.assert_allclose(np.linalg.norm(e[0, 1]), np.deg2rad(45), atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(e[0, 0]), 0.0, atol=1e-6)
+
+
+def test_root_centric_positions_zeroes_xz():
+    data = chain_bvh(T=2)
+    data.frames[:, 0] = [5.0, 7.0]
+    data.frames[:, 2] = [1.0, 2.0]
+    P = forward_kinematics(data)
+    C = root_centric_positions(P)
+    np.testing.assert_allclose(C[:, 0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(C[:, 0, 2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(C[:, 1, 1], 1.0, atol=1e-6)  # height kept
+
+
+def test_select_joints_keeps_named_channels():
+    data = chain_bvh()
+    sub, cols = select_joints(data, ["Spine"])
+    # root position channels kept + spine rotations
+    assert [j.name for j in sub.joints] == ["Hips", "Spine"]
+    assert sub.joints[0].channels == ["Xposition", "Yposition", "Zposition"]
+    assert sub.frames.shape[1] == 6
+
+
+def test_downsample_and_constants():
+    x = np.arange(40, dtype=np.float32).reshape(10, 4)
+    x[:, 2] = 3.0
+    assert downsample(x, 2).shape == (5, 4)
+    reduced, kept, consts = remove_constants(x)
+    assert 2 not in kept.tolist() and reduced.shape[1] == 3
+    assert consts[2] == 3.0
+
+
+def test_bvh_write_parse_roundtrip(tmp_path):
+    data = chain_bvh(T=3)
+    data.frames[:] = np.random.RandomState(0).randn(3, 9).astype(np.float32)
+    p = str(tmp_path / "chain.bvh")
+    write_bvh(data, p)
+    back = parse_bvh(p)
+    assert [j.name for j in back.joints] == [j.name for j in data.joints]
+    np.testing.assert_allclose(back.frames, data.frames, atol=1e-5)
+    np.testing.assert_allclose(
+        forward_kinematics(back), forward_kinematics(data), atol=1e-4)
