@@ -27,6 +27,7 @@ from flax import linen as nn
 # read ONCE at import: a trace-time os.environ read inside a module __call__
 # is a hidden cache-key/reproducibility hazard
 _ENV_RAGGED = os.environ.get("MOTIONCRAFT_MOE_RAGGED")
+_ENV_FUSED = os.environ.get("MOTIONCRAFT_MOE_FUSED")
 
 from ..ops.pallas_ffn import expert_ffn
 from ..ops.pallas_moe import moe_positions
@@ -107,7 +108,14 @@ class MoELayer(nn.Module):
             if _ENV_RAGGED == "0":
                 return False
             return jax.default_backend() == "tpu"
-        return self.dispatch_mode == "ragged"
+        return self.dispatch_mode in ("ragged", "ragged_fused")
+
+    def _use_fused_ffn(self) -> bool:
+        """Pallas grouped-FFN inside the ragged path: explicit
+        dispatch_mode='ragged_fused', or 'auto' + MOTIONCRAFT_MOE_FUSED=1."""
+        if self.dispatch_mode == "ragged_fused":
+            return True
+        return self.dispatch_mode == "auto" and _ENV_FUSED == "1"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -169,31 +177,64 @@ class MoELayer(nn.Module):
         token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                                      (N, K)).reshape(-1)
         if self._use_ragged(train):
-            # Rank-compact dispatch + lax.ragged_dot (megablocks-style): the
-            # kept (token, k) choices occupy M = K*N rows sorted by expert
-            # (rank = offset[e] + position), so the expert FFN runs grouped
-            # matmuls on 602k compact rows instead of padded [E, capacity]
-            # einsums on 904k — measured 15.2 -> 9.2 ms on v5e, plus a
-            # smaller dispatch gather.  Same capacity-drop semantics.
+            # Rank-compact dispatch (megablocks-style): the kept (token, k)
+            # choices occupy M = K*N rows sorted by expert
+            # (rank = offset[e] + position).  Same capacity-drop semantics
+            # as the slot path.  The FFN runs either as two lax.ragged_dot
+            # grouped matmuls, or (fused) as one Pallas kernel over
+            # BLOCK-aligned groups that never materializes the hidden
+            # activation in HBM.
+            fused = self._use_fused_ffn()
             counts = jnp.sum(jax.nn.one_hot(flat_idx, E, dtype=jnp.int32), axis=0)
             fill = jnp.minimum(counts, capacity)              # [E]
+            if fused:
+                from ..ops.pallas_moe_ffn import BLOCK, grouped_ffn
+                fill_aligned = ((fill + BLOCK - 1) // BLOCK) * BLOCK
+                # static BLOCK-multiple bound on sum(fill_aligned)
+                M = ((N * K + BLOCK - 1) // BLOCK) * BLOCK + E * BLOCK
+            else:
+                fill_aligned = fill
+                M = N * K
             offset = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                      jnp.cumsum(fill)[:-1]])
-            M = N * K
+                                      jnp.cumsum(fill_aligned)[:-1]])
             rank = offset[topk_idx] + positions               # [N, K]
             rank_flat = jnp.where(valid.reshape(-1), rank.reshape(-1), M)
             token_for_rank = jnp.zeros((M + 1,), jnp.int32).at[rank_flat].set(token_ids)
             xs = x[token_for_rank[:M]]                        # [M, D] expert-sorted
-            # pad rows (when drops occur) are assigned to the last group
-            group_sizes = fill.at[E - 1].add(M - fill.sum())
-            h = jax.lax.ragged_dot(xs, w1, group_sizes)
-            b1_rows = jnp.repeat(b1, group_sizes, axis=0, total_repeat_length=M)
-            h = nn.gelu(h + b1_rows, approximate=False)
-            ye = jax.lax.ragged_dot(h.astype(x.dtype), w2, group_sizes)
-            b2_rows = jnp.repeat(b2, group_sizes, axis=0, total_repeat_length=M)
-            ye_flat = jnp.concatenate([ye + b2_rows, jnp.zeros((1, D), x.dtype)], axis=0)
-            y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype),
-                           ye_flat[jnp.where(valid, rank, M)])
+            # Gate-weight h BEFORE the second matmul so the combine is K
+            # flat row-gathers + add instead of a [N, K, D] gather feeding
+            # an einsum — that fused gather+einsum lowered at ~16 GB/s
+            # effective and was the single largest stage (9.5 ms of a 27 ms
+            # layer).  Pad/dropped rows get gate 0, so they contribute
+            # nothing even though they run through the FFN.
+            gate_for_rank = jnp.zeros((M + 1,), x.dtype).at[rank_flat].set(
+                gates.reshape(-1).astype(x.dtype))
+            if fused:
+                nb = M // BLOCK
+                block_expert = jnp.clip(
+                    jnp.searchsorted(jnp.cumsum(fill_aligned),
+                                     jnp.arange(nb, dtype=jnp.int32) * BLOCK,
+                                     side="right"),
+                    0, E - 1).astype(jnp.int32)
+                ye = grouped_ffn(block_expert, xs, gate_for_rank[:M, None],
+                                 w1, b1.astype(jnp.float32), w2)
+            else:
+                # pad rows (when drops occur) go to the last group
+                group_sizes = fill.at[E - 1].add(M - fill.sum())
+                h = jax.lax.ragged_dot(xs, w1, group_sizes)
+                b1_rows = jnp.repeat(b1, group_sizes, axis=0, total_repeat_length=M)
+                h = nn.gelu(h + b1_rows, approximate=False)
+                h = h * gate_for_rank[:M, None]
+                ye = jax.lax.ragged_dot(h.astype(x.dtype), w2, group_sizes)
+            ye_flat = jnp.concatenate([ye, jnp.zeros((1, D), x.dtype)], axis=0)
+            r = jnp.where(valid, rank, M)                     # [N, K]
+            y = ye_flat[r[:, 0]]
+            for k in range(1, K):
+                y = y + ye_flat[r[:, k]]
+            # gate-weighted expert bias: sum_k g_k * b2[e_k] (b2 is a tiny
+            # [E, D] table; the one-hot contraction stays on-chip)
+            y = y + jnp.einsum("nk,nke->ne", gates.astype(x.dtype),
+                               b2[topk_idx].astype(x.dtype))
         else:
             # Scatter/gather slot-buffer dispatch (the TPU equivalent of
             # Tutel's sparse CUDA dispatch).  One-hot [N, E, C] einsums would

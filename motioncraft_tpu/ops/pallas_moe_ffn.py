@@ -1,0 +1,89 @@
+"""Fused grouped expert-FFN over rank-compact MoE rows (Pallas, TPU).
+
+The XLA ragged path materializes the [M, hidden] activation between the two
+``lax.ragged_dot`` calls (plus a gelu pass), ~3x the bandwidth floor of the
+op.  This kernel processes expert-aligned row blocks — group offsets are
+pre-padded to BLOCK rows so every block belongs to exactly one expert, whose
+id arrives via scalar prefetch — and keeps the hidden activation in VMEM:
+
+    o_block = (gelu(x_block @ w1[e] + b1[e]) * gate_block) @ w2[e]
+
+Gate weighting rides along so the caller's combine is two flat row-gathers
+(see models/moe.py).  b2 is intentionally excluded: the caller adds the
+gate-weighted expert bias from the tiny [E, D] table directly.
+
+Inference-only (no VJP): training uses the dense/slot paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 512  # rows per grid step; group offsets must be BLOCK-aligned
+
+
+def _kernel(be_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref, o_ref):
+    x = x_ref[...]                                  # [BLOCK, D]
+    w1 = w1_ref[0]                                  # [D, H]
+    h = jax.lax.dot(x, w1, preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False)
+    h = h * g_ref[...].astype(jnp.float32)          # [BLOCK, 1] gate
+    o = jax.lax.dot(h.astype(x.dtype), w2_ref[0],
+                    preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray, gates: jnp.ndarray,
+                w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """xs [M_pad, D] expert-sorted rows (BLOCK-aligned groups), gates
+    [M_pad, 1], block_expert [M_pad/BLOCK] int32 -> gate-weighted FFN rows
+    [M_pad, D]."""
+    m_pad, d = xs.shape
+    assert m_pad % BLOCK == 0, m_pad
+    nb = m_pad // BLOCK
+    e, _, hid = w1.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, d), lambda i, be: (i, 0)),
+            pl.BlockSpec((BLOCK, 1), lambda i, be: (i, 0)),
+            pl.BlockSpec((1, d, hid), lambda i, be: (be[i], 0, 0)),
+            pl.BlockSpec((1, hid), lambda i, be: (be[i], 0)),
+            pl.BlockSpec((1, hid, d), lambda i, be: (be[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, d), lambda i, be: (i, 0)),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), xs.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * d * hid * 2,
+            bytes_accessed=m_pad * d * 2 * xs.dtype.itemsize
+            + nb * (2 * d * hid) * w1.dtype.itemsize,
+            transcendentals=m_pad * hid,
+        ),
+    )(block_expert, xs, gates, w1, b1, w2)
+
+
+def grouped_ffn_reference(block_expert, xs, gates, w1, b1, w2):
+    """Plain-jnp reference for parity tests."""
+    m_pad, d = xs.shape
+    nb = m_pad // BLOCK
+    out = []
+    for i in range(nb):
+        e = block_expert[i]
+        x = xs[i * BLOCK:(i + 1) * BLOCK].astype(jnp.float32)
+        h = jax.nn.gelu(x @ w1[e].astype(jnp.float32) + b1[e], approximate=False)
+        h = h * gates[i * BLOCK:(i + 1) * BLOCK].astype(jnp.float32)
+        out.append(h @ w2[e].astype(jnp.float32))
+    return jnp.concatenate(out, 0).astype(xs.dtype)

@@ -277,3 +277,45 @@ def test_moe_ragged_dispatch_parity():
     y_ragged, _ = MoELayer(E, K, D, D * 2, dispatch_mode="ragged").apply(p, x)
     np.testing.assert_allclose(np.asarray(y_slots), np.asarray(y_ragged),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_moe_fused_grouped_ffn_parity():
+    """Pallas grouped-FFN kernel (interpret mode) == jnp reference, and the
+    full ragged_fused dispatch == the slots path."""
+    import numpy as np
+    from motioncraft_tpu.ops.pallas_moe_ffn import (BLOCK, grouped_ffn,
+                                                    grouped_ffn_reference)
+    rng = np.random.RandomState(0)
+    E, D, HID = 4, 128, 256
+    m_pad = 4 * BLOCK
+    xs = jnp.asarray(rng.randn(m_pad, D), jnp.float32)
+    gates = jnp.asarray(np.abs(rng.rand(m_pad, 1)), jnp.float32)
+    w1 = jnp.asarray(rng.randn(E, D, HID) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(E, HID) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(E, HID, D) * 0.05, jnp.float32)
+    block_expert = jnp.asarray([0, 1, 1, 3], jnp.int32)
+    out = grouped_ffn(block_expert, xs, gates, w1, b1, w2, interpret=True)
+    ref = grouped_ffn_reference(np.asarray(block_expert), xs, gates, w1, b1, w2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_moe_ragged_fused_dispatch_parity(monkeypatch):
+    """ragged_fused end-to-end equals the slot-buffer path (interpret)."""
+    import numpy as np
+    import jax.experimental.pallas as _pl  # noqa: F401
+    from motioncraft_tpu.ops import pallas_moe_ffn
+    # force interpret mode on CPU
+    orig = pallas_moe_ffn.grouped_ffn
+    monkeypatch.setattr(
+        pallas_moe_ffn, "grouped_ffn",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    from motioncraft_tpu.models.moe import MoELayer
+    rng = np.random.RandomState(0)
+    N, D, E, K = 3000, 128, 8, 2
+    x = jnp.asarray(rng.randn(N, D), jnp.float32)
+    p = MoELayer(E, K, D, D * 2, dispatch_mode="slots").init(jax.random.PRNGKey(0), x)
+    y_slots, _ = MoELayer(E, K, D, D * 2, dispatch_mode="slots").apply(p, x)
+    y_fused, _ = MoELayer(E, K, D, D * 2, dispatch_mode="ragged_fused").apply(p, x)
+    np.testing.assert_allclose(np.asarray(y_slots), np.asarray(y_fused),
+                               atol=3e-5, rtol=3e-5)
