@@ -21,8 +21,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_ffn import _erf_f32  # Mosaic has no erf/erfc primitive
 
 BLOCK = 512  # rows per grid step; group offsets must be BLOCK-aligned
 
@@ -31,8 +34,9 @@ def _kernel(be_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref, o_ref):
     x = x_ref[...]                                  # [BLOCK, D]
     w1 = w1_ref[0]                                  # [D, H]
     h = jax.lax.dot(x, w1, preferred_element_type=jnp.float32)
-    h = h + b1_ref[0].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=False)
+    h = h + b1_ref[0, 0].astype(jnp.float32)
+    # exact (erf) gelu via the A&S polynomial (|err| <= 1.5e-7)
+    h = h * 0.5 * (1.0 + _erf_f32(h * np.float32(2 ** -0.5)))
     h = h * g_ref[...].astype(jnp.float32)          # [BLOCK, 1] gate
     o = jax.lax.dot(h.astype(x.dtype), w2_ref[0],
                     preferred_element_type=jnp.float32)
@@ -56,7 +60,9 @@ def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray, gates: jnp.ndarray,
             pl.BlockSpec((BLOCK, d), lambda i, be: (i, 0)),
             pl.BlockSpec((BLOCK, 1), lambda i, be: (i, 0)),
             pl.BlockSpec((1, d, hid), lambda i, be: (be[i], 0, 0)),
-            pl.BlockSpec((1, hid), lambda i, be: (be[i], 0)),
+            # [E, 1, hid]: a (1, hid) 2-D block would violate the TPU
+            # sublane-divisibility rule (second-to-last dim 1 vs E=16)
+            pl.BlockSpec((1, 1, hid), lambda i, be: (be[i], 0, 0)),
             pl.BlockSpec((1, hid, d), lambda i, be: (be[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec((BLOCK, d), lambda i, be: (i, 0)),
@@ -72,7 +78,7 @@ def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray, gates: jnp.ndarray,
             + nb * (2 * d * hid) * w1.dtype.itemsize,
             transcendentals=m_pad * hid,
         ),
-    )(block_expert, xs, gates, w1, b1, w2)
+    )(block_expert, xs, gates, w1, b1.reshape(e, 1, hid), w2)
 
 
 def grouped_ffn_reference(block_expert, xs, gates, w1, b1, w2):

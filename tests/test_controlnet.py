@@ -12,6 +12,8 @@ from motioncraft_tpu.models.controlnet import (ControlT2MHalf,
 from motioncraft_tpu.models.tokenizer import tokenize
 from motioncraft_tpu.registry import build_architecture
 
+pytestmark = pytest.mark.slow  # multi-minute e2e compiles
+
 HEADS, LAT = 12, 8
 T, D_IN = 16, 322
 

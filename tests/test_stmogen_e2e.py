@@ -17,6 +17,8 @@ from motioncraft_tpu.models.body_layout import (body_slice, inverse_permutation,
 from motioncraft_tpu.models.tokenizer import tokenize
 from motioncraft_tpu.registry import build_architecture
 
+pytestmark = pytest.mark.slow  # multi-minute e2e compiles
+
 LATENT = 8
 HEADS = 12  # motionx layout: heads == body parts (11 + whole-body)
 T = 16

@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--experts", type=int, default=16)
     ap.add_argument("--topk", type=int, default=2)
-    ap.add_argument("--mode", default="ragged", choices=["ragged", "slots"])
+    ap.add_argument("--mode", default="ragged", choices=["ragged", "slots", "ragged_fused"])
     args = ap.parse_args()
 
     from motioncraft_tpu.models.moe import MoELayer
