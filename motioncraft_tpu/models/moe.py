@@ -30,7 +30,7 @@ _ENV_RAGGED = os.environ.get("MOTIONCRAFT_MOE_RAGGED")
 _ENV_FUSED = os.environ.get("MOTIONCRAFT_MOE_FUSED")
 
 from ..ops.pallas_ffn import expert_ffn
-from ..ops.pallas_moe import moe_positions
+from ..ops.pallas_moe import moe_positions_counts
 from .blocks import zeros_init
 
 
@@ -157,7 +157,7 @@ class MoELayer(nn.Module):
         # loop formulation is ~70x slower on TPU (see ops/pallas_moe.py)
         idx_for_rank = topk_idx[order] if prioritize else topk_idx
         flat_idx = idx_for_rank.T.reshape(-1)  # k-major [K*N]
-        pos_flat = moe_positions(flat_idx, E)
+        pos_flat, expert_counts = moe_positions_counts(flat_idx, E)
         positions = pos_flat.reshape(K, N).T  # [N, K]
         if prioritize:
             positions = positions[inv_order]
@@ -185,8 +185,7 @@ class MoELayer(nn.Module):
             # BLOCK-aligned groups that never materializes the hidden
             # activation in HBM.
             fused = self._use_fused_ffn()
-            counts = jnp.sum(jax.nn.one_hot(flat_idx, E, dtype=jnp.int32), axis=0)
-            fill = jnp.minimum(counts, capacity)              # [E]
+            fill = jnp.minimum(expert_counts, capacity)       # [E]
             if fused:
                 from ..ops.pallas_moe_ffn import BLOCK, grouped_ffn
                 fill_aligned = ((fill + BLOCK - 1) // BLOCK) * BLOCK
@@ -198,17 +197,21 @@ class MoELayer(nn.Module):
             offset = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                       jnp.cumsum(fill_aligned)[:-1]])
             rank = offset[topk_idx] + positions               # [N, K]
-            rank_flat = jnp.where(valid.reshape(-1), rank.reshape(-1), M)
-            token_for_rank = jnp.zeros((M + 1,), jnp.int32).at[rank_flat].set(token_ids)
+            # Dropped entries get DISTINCT out-of-bounds indices so the
+            # scatters can promise unique_indices + mode='drop': XLA then
+            # vectorizes the scatter instead of serializing against
+            # duplicate writes (6.0 -> ~1 ms per [M] scatter on v5e).
+            oob = M + 1 + jnp.arange(N * K, dtype=jnp.int32)
+            rank_flat = jnp.where(valid.reshape(-1), rank.reshape(-1), oob)
+            token_for_rank = jnp.zeros((M + 1,), jnp.int32).at[rank_flat].set(
+                token_ids, unique_indices=True, mode="drop")
             xs = x[token_for_rank[:M]]                        # [M, D] expert-sorted
-            # Gate-weight h BEFORE the second matmul so the combine is K
-            # flat row-gathers + add instead of a [N, K, D] gather feeding
-            # an einsum — that fused gather+einsum lowered at ~16 GB/s
-            # effective and was the single largest stage (9.5 ms of a 27 ms
-            # layer).  Pad/dropped rows get gate 0, so they contribute
-            # nothing even though they run through the FFN.
-            gate_for_rank = jnp.zeros((M + 1,), x.dtype).at[rank_flat].set(
-                gates.reshape(-1).astype(x.dtype))
+            # The gate is a per-row SCALAR, so g*(h@w2) == (g*h)@w2 — apply
+            # it at combine time as a broadcast multiply fused into the flat
+            # row-gathers.  This kills both expensive alternatives: the
+            # [N, K, D] gather+einsum combine (~7 ms) and a second [M]
+            # scatter to build per-rank gates (~6 ms: TPU scalar scatters of
+            # 16-bit values run ~2x slower than int32 ones).
             if fused:
                 nb = M // BLOCK
                 block_expert = jnp.clip(
@@ -216,25 +219,27 @@ class MoELayer(nn.Module):
                                      jnp.arange(nb, dtype=jnp.int32) * BLOCK,
                                      side="right"),
                     0, E - 1).astype(jnp.int32)
-                ye = grouped_ffn(block_expert, xs, gate_for_rank[:M, None],
-                                 w1, b1.astype(jnp.float32), w2)
+                ye = grouped_ffn(block_expert, xs, w1,
+                                 b1.astype(jnp.float32), w2)
             else:
                 # pad rows (when drops occur) go to the last group
                 group_sizes = fill.at[E - 1].add(M - fill.sum())
                 h = jax.lax.ragged_dot(xs, w1, group_sizes)
                 b1_rows = jnp.repeat(b1, group_sizes, axis=0, total_repeat_length=M)
                 h = nn.gelu(h + b1_rows, approximate=False)
-                h = h * gate_for_rank[:M, None]
                 ye = jax.lax.ragged_dot(h.astype(x.dtype), w2, group_sizes)
             ye_flat = jnp.concatenate([ye, jnp.zeros((1, D), x.dtype)], axis=0)
             r = jnp.where(valid, rank, M)                     # [N, K]
-            y = ye_flat[r[:, 0]]
+            gk = gates.astype(x.dtype)
+            y = gk[:, 0, None] * ye_flat[r[:, 0]]
             for k in range(1, K):
-                y = y + ye_flat[r[:, k]]
-            # gate-weighted expert bias: sum_k g_k * b2[e_k] (b2 is a tiny
-            # [E, D] table; the one-hot contraction stays on-chip)
-            y = y + jnp.einsum("nk,nke->ne", gates.astype(x.dtype),
-                               b2[topk_idx].astype(x.dtype))
+                y = y + gk[:, k, None] * ye_flat[r[:, k]]
+            # gate-weighted expert bias: sum_k g_k * b2[e_k] via a one-hot
+            # [N, E] @ [E, D] MXU matmul — b2[topk_idx] would materialize an
+            # [N, K, D] gather in HBM
+            ge = jnp.einsum("nk,nke->ne", gates,
+                            jax.nn.one_hot(topk_idx, E, dtype=gates.dtype))
+            y = y + ge.astype(x.dtype) @ b2.astype(x.dtype)
         else:
             # Scatter/gather slot-buffer dispatch (the TPU equivalent of
             # Tutel's sparse CUDA dispatch).  One-hot [N, E, C] einsums would
@@ -243,11 +248,16 @@ class MoELayer(nn.Module):
             # (expert, slot) buffer and gathers it back.  Slots are unique by
             # construction, the extra row is the overflow dump.
             slots = topk_idx * capacity + positions  # [N, K]
+            # distinct out-of-bounds indices for dropped tokens -> the
+            # scatters are truly unique and mode='drop' discards them, which
+            # lets XLA vectorize the scatter (see ragged path)
+            oob = E * capacity + 1 + jnp.arange(N * K, dtype=jnp.int32)
+            slots_flat = jnp.where(valid.reshape(-1), slots.reshape(-1), oob)
             slots = jnp.where(valid, slots, E * capacity)
             token_for_slot = jnp.zeros((E * capacity + 1,), jnp.int32).at[
-                slots.reshape(-1)].set(token_ids)
+                slots_flat].set(token_ids, unique_indices=True, mode="drop")
             slot_filled = jnp.zeros((E * capacity + 1,), jnp.bool_).at[
-                slots.reshape(-1)].set(True)
+                slots_flat].set(True, unique_indices=True, mode="drop")
             xe_flat = jnp.where(slot_filled[:-1, None], x[token_for_slot[:-1]], 0)
             xe = xe_flat.reshape(E, capacity, D)
             ye = expert_ffn(xe, w1, b1, w2, b2,

@@ -80,7 +80,7 @@ def _positions_pallas(flat_idx: jnp.ndarray, num_experts: int,
 def _positions_xla(flat_idx: jnp.ndarray, num_experts: int):
     onehot = jax.nn.one_hot(flat_idx, num_experts, dtype=jnp.int32)
     csum = jnp.cumsum(onehot, axis=0)
-    return ((csum - 1) * onehot).sum(axis=1)
+    return ((csum - 1) * onehot).sum(axis=1), csum[-1]
 
 
 def moe_positions(flat_idx: jnp.ndarray, num_experts: int,
@@ -96,9 +96,20 @@ def moe_positions(flat_idx: jnp.ndarray, num_experts: int,
     So "auto" means XLA; the kernel stays available ("always" /
     MOTIONCRAFT_PALLAS_POSITIONS=1) and parity-tested.
     """
+    return moe_positions_counts(flat_idx, num_experts, use_pallas)[0]
+
+
+def moe_positions_counts(flat_idx: jnp.ndarray, num_experts: int,
+                         use_pallas: str = "auto"):
+    """(positions [M], per-expert counts [E]) from one one-hot cumsum —
+    callers that need both (the ragged dispatch) avoid a second full
+    reduction over [M, E]."""
     import os
     if use_pallas == "always" or (
             use_pallas == "auto" and jax.default_backend() == "tpu"
             and os.environ.get("MOTIONCRAFT_PALLAS_POSITIONS") == "1"):
-        return _positions_pallas(flat_idx, num_experts)
+        pos = _positions_pallas(flat_idx, num_experts)
+        counts = jnp.sum(jax.nn.one_hot(flat_idx, num_experts,
+                                        dtype=jnp.int32), axis=0)
+        return pos, counts
     return _positions_xla(flat_idx, num_experts)

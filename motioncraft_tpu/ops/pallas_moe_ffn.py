@@ -6,11 +6,12 @@ op.  This kernel processes expert-aligned row blocks — group offsets are
 pre-padded to BLOCK rows so every block belongs to exactly one expert, whose
 id arrives via scalar prefetch — and keeps the hidden activation in VMEM:
 
-    o_block = (gelu(x_block @ w1[e] + b1[e]) * gate_block) @ w2[e]
+    o_block = gelu(x_block @ w1[e] + b1[e]) @ w2[e]
 
-Gate weighting rides along so the caller's combine is two flat row-gathers
-(see models/moe.py).  b2 is intentionally excluded: the caller adds the
-gate-weighted expert bias from the tiny [E, D] table directly.
+Per-row gate weighting and b2 are intentionally excluded: the gate is a
+per-row scalar so the caller applies it at combine time (g*(h@w2) ==
+(g*h)@w2), and the gate-weighted expert bias comes from the tiny [E, D]
+table directly (see models/moe.py).
 
 Inference-only (no VJP): training uses the dense/slot paths.
 """
@@ -30,25 +31,23 @@ from .pallas_ffn import _erf_f32  # Mosaic has no erf/erfc primitive
 BLOCK = 512  # rows per grid step; group offsets must be BLOCK-aligned
 
 
-def _kernel(be_ref, x_ref, g_ref, w1_ref, b1_ref, w2_ref, o_ref):
+def _kernel(be_ref, x_ref, w1_ref, b1_ref, w2_ref, o_ref):
     x = x_ref[...]                                  # [BLOCK, D]
     w1 = w1_ref[0]                                  # [D, H]
     h = jax.lax.dot(x, w1, preferred_element_type=jnp.float32)
     h = h + b1_ref[0, 0].astype(jnp.float32)
     # exact (erf) gelu via the A&S polynomial (|err| <= 1.5e-7)
     h = h * 0.5 * (1.0 + _erf_f32(h * np.float32(2 ** -0.5)))
-    h = h * g_ref[...].astype(jnp.float32)          # [BLOCK, 1] gate
     o = jax.lax.dot(h.astype(x.dtype), w2_ref[0],
                     preferred_element_type=jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray, gates: jnp.ndarray,
+def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray,
                 w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
-    """xs [M_pad, D] expert-sorted rows (BLOCK-aligned groups), gates
-    [M_pad, 1], block_expert [M_pad/BLOCK] int32 -> gate-weighted FFN rows
-    [M_pad, D]."""
+    """xs [M_pad, D] expert-sorted rows (BLOCK-aligned groups),
+    block_expert [M_pad/BLOCK] int32 -> FFN rows [M_pad, D]."""
     m_pad, d = xs.shape
     assert m_pad % BLOCK == 0, m_pad
     nb = m_pad // BLOCK
@@ -58,7 +57,6 @@ def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray, gates: jnp.ndarray,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((BLOCK, d), lambda i, be: (i, 0)),
-            pl.BlockSpec((BLOCK, 1), lambda i, be: (i, 0)),
             pl.BlockSpec((1, d, hid), lambda i, be: (be[i], 0, 0)),
             # [E, 1, hid]: a (1, hid) 2-D block would violate the TPU
             # sublane-divisibility rule (second-to-last dim 1 vs E=16)
@@ -78,10 +76,10 @@ def grouped_ffn(block_expert: jnp.ndarray, xs: jnp.ndarray, gates: jnp.ndarray,
             + nb * (2 * d * hid) * w1.dtype.itemsize,
             transcendentals=m_pad * hid,
         ),
-    )(block_expert, xs, gates, w1, b1.reshape(e, 1, hid), w2)
+    )(block_expert, xs, w1, b1.reshape(e, 1, hid), w2)
 
 
-def grouped_ffn_reference(block_expert, xs, gates, w1, b1, w2):
+def grouped_ffn_reference(block_expert, xs, w1, b1, w2):
     """Plain-jnp reference for parity tests."""
     m_pad, d = xs.shape
     nb = m_pad // BLOCK
@@ -90,6 +88,5 @@ def grouped_ffn_reference(block_expert, xs, gates, w1, b1, w2):
         e = block_expert[i]
         x = xs[i * BLOCK:(i + 1) * BLOCK].astype(jnp.float32)
         h = jax.nn.gelu(x @ w1[e].astype(jnp.float32) + b1[e], approximate=False)
-        h = h * gates[i * BLOCK:(i + 1) * BLOCK].astype(jnp.float32)
         out.append(h @ w2[e].astype(jnp.float32))
     return jnp.concatenate(out, 0).astype(xs.dtype)

@@ -223,9 +223,11 @@ def test_moe_positions_pallas_parity():
     rng = np.random.RandomState(0)
     for M, E, R in ((10000, 16, 2048), (1000, 4, 256)):
         idx = jnp.asarray(rng.randint(0, E, (M,)), jnp.int32)
-        want = np.asarray(_positions_xla(idx, E))
+        want_pos, want_counts = _positions_xla(idx, E)
         got = np.asarray(_positions_pallas(idx, E, block_rows=R, interpret=True))
-        assert (got == want).all()
+        assert (got == np.asarray(want_pos)).all()
+        assert (np.asarray(want_counts)
+                == np.bincount(np.asarray(idx), minlength=E)).all()
 
 
 def test_fused_expert_ffn_parity():
@@ -289,13 +291,12 @@ def test_moe_fused_grouped_ffn_parity():
     E, D, HID = 4, 128, 256
     m_pad = 4 * BLOCK
     xs = jnp.asarray(rng.randn(m_pad, D), jnp.float32)
-    gates = jnp.asarray(np.abs(rng.rand(m_pad, 1)), jnp.float32)
     w1 = jnp.asarray(rng.randn(E, D, HID) * 0.05, jnp.float32)
     b1 = jnp.asarray(rng.randn(E, HID) * 0.1, jnp.float32)
     w2 = jnp.asarray(rng.randn(E, HID, D) * 0.05, jnp.float32)
     block_expert = jnp.asarray([0, 1, 1, 3], jnp.int32)
-    out = grouped_ffn(block_expert, xs, gates, w1, b1, w2, interpret=True)
-    ref = grouped_ffn_reference(np.asarray(block_expert), xs, gates, w1, b1, w2)
+    out = grouped_ffn(block_expert, xs, w1, b1, w2, interpret=True)
+    ref = grouped_ffn_reference(np.asarray(block_expert), xs, w1, b1, w2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
 

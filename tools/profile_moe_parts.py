@@ -53,7 +53,11 @@ def main():
     ye_flat = jnp.asarray(rng.randn(M + 1, D), jnp.bfloat16)
     b2 = jnp.asarray(rng.randn(E, D) * 0.05, jnp.bfloat16)
 
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
+
     def meas(name, step):
+        if only and only not in name:
+            return
         dt = loop_slope(step) * 1e3
         print(f"{name:28s}: {dt:8.3f} ms", flush=True)
 
@@ -65,6 +69,20 @@ def main():
     meas("scatter [M] set", lambda c: c + jnp.zeros((M + 1,), jnp.bfloat16).at[
         (ranks.reshape(-1) + c.astype(jnp.int32))].set(
             gates.reshape(-1)).astype(jnp.float32).mean())
+    meas("scatter [M] set unique", lambda c: c + jnp.zeros((M + 1,), jnp.bfloat16).at[
+        (ranks.reshape(-1) + c.astype(jnp.int32))].set(
+            gates.reshape(-1), unique_indices=True, mode="drop").astype(
+                jnp.float32).mean())
+    meas("scatter [M] int unique", lambda c: c + jnp.zeros((M + 1,), jnp.int32).at[
+        (ranks.reshape(-1) + c.astype(jnp.int32))].set(
+            token_for_rank, unique_indices=True, mode="drop").astype(
+                jnp.float32).mean())
+    meas("scatter rows [M,D] unique", lambda c: c + jnp.zeros((M + 1, D), jnp.bfloat16).at[
+        (ranks.reshape(-1) + c.astype(jnp.int32))].set(
+            pert(xs, c), unique_indices=True, mode="drop").astype(
+                jnp.float32).mean())
+    meas("gather [M] scalar", lambda c: c + pert(gate_rows[:, 0], c)[
+        token_for_rank].astype(jnp.float32).mean())
     meas("ragged_dot pair + gelu", lambda c: c + _ragged_pair(
         pert(xs, c), w1, b1, w2, group_sizes, gate_rows))
     from motioncraft_tpu.ops.pallas_moe_ffn import BLOCK, grouped_ffn
@@ -72,14 +90,19 @@ def main():
     block_expert = jnp.asarray(np.repeat(np.arange(E), nblocks // E)[:nblocks],
                                jnp.int32)
     meas("fused grouped_ffn kernel", lambda c: c + grouped_ffn(
-        block_expert, pert(xs, c), gate_rows, w1, b1, w2).astype(
-            jnp.float32).mean())
+        block_expert, pert(xs, c), w1, b1, w2).astype(jnp.float32).mean())
     meas("combine old (nkd gather+einsum)", lambda c: c + jnp.einsum(
         "nk,nkd->nd", gates, pert(ye_flat, c)[ranks]).astype(jnp.float32).mean())
-    meas("combine new (2 flat gathers)", lambda c: c + (
-        pert(ye_flat, c)[ranks[:, 0]] + pert(ye_flat, c)[ranks[:, 1]]
-        + jnp.einsum("nk,nke->ne", gates, b2[topk_idx])).astype(
-            jnp.float32).mean())
+
+    def combine_new(c):
+        ge = jnp.einsum("nk,nke->ne", gates.astype(jnp.float32),
+                        jax.nn.one_hot(topk_idx, E, dtype=jnp.float32))
+        y = (gates[:, 0, None] * pert(ye_flat, c)[ranks[:, 0]]
+             + gates[:, 1, None] * pert(ye_flat, c)[ranks[:, 1]]
+             + ge.astype(jnp.bfloat16) @ b2)
+        return c + y.astype(jnp.float32).mean()
+
+    meas("combine new (gated gathers)", combine_new)
     from motioncraft_tpu.ops.pallas_moe import moe_positions
     meas("positions cumsum", lambda c: c + moe_positions(
         (topk_idx.T.reshape(-1) + c.astype(jnp.int32)) % E, E).astype(
