@@ -111,11 +111,15 @@ class MoELayer(nn.Module):
         return self.dispatch_mode in ("ragged", "ragged_fused")
 
     def _use_fused_ffn(self) -> bool:
-        """Pallas grouped-FFN inside the ragged path: explicit
-        dispatch_mode='ragged_fused', or 'auto' + MOTIONCRAFT_MOE_FUSED=1."""
+        """Pallas grouped-FFN inside the ragged path — the TPU default
+        (16.8 vs 23.9 ms/call for the lax.ragged_dot pair at flagship shapes
+        on v5e).  Opt out with MOTIONCRAFT_MOE_FUSED=0 (e.g. on runtimes
+        where the Mosaic AOT compile stalls)."""
         if self.dispatch_mode == "ragged_fused":
             return True
-        return self.dispatch_mode == "auto" and _ENV_FUSED == "1"
+        if self.dispatch_mode == "auto" and _ENV_FUSED != "0":
+            return _ENV_FUSED == "1" or jax.default_backend() == "tpu"
+        return False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -184,7 +188,13 @@ class MoELayer(nn.Module):
             # grouped matmuls, or (fused) as one Pallas kernel over
             # BLOCK-aligned groups that never materializes the hidden
             # activation in HBM.
-            fused = self._use_fused_ffn()
+            # size floor: below ~64 blocks of rows the ragged_dot pair is
+            # already sub-ms and a fresh Mosaic kernel compile (minutes on
+            # remote-AOT runtimes) buys nothing
+            from ..ops.pallas_moe_ffn import BLOCK as _FFN_BLOCK
+            fused = self._use_fused_ffn() and (
+                self.dispatch_mode == "ragged_fused"  # explicit: no floor
+                or N * K >= 64 * _FFN_BLOCK)
             fill = jnp.minimum(expert_counts, capacity)       # [E]
             if fused:
                 from ..ops.pallas_moe_ffn import BLOCK, grouped_ffn
