@@ -18,6 +18,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from motioncraft_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 BASELINE_PER_CHIP = 1000.0 / 8.0  # motions/min per chip from the v5e-8 target

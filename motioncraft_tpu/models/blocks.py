@@ -13,11 +13,31 @@ TPU-native re-implementations of the reference building blocks:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# read ONCE at import (trace-time env reads in a forward are a cache-key
+# hazard); MOTIONCRAFT_PALLAS_SFFN: "0" disables, "1" forces (interpreted
+# off-TPU for tests)
+_ENV_SFFN = os.environ.get("MOTIONCRAFT_PALLAS_SFFN")
+
+
+def _use_pallas_sffn(train: bool, n_rows: int, d: int, f: int) -> bool:
+    """Fused per-head FFN kernel at inference on TPU, above a row floor
+    (a fresh Mosaic compile costs minutes on remote-AOT runtimes) and only
+    at lane-aligned head dims."""
+    if train or _ENV_SFFN == "0":
+        return False
+    if d % 128 or f % 128:
+        return False
+    from ..ops.pallas_sffn import BLOCK_N
+    if n_rows < 8 * BLOCK_N:
+        return False
+    return _ENV_SFFN == "1" or jax.default_backend() == "tpu"
 
 zeros_init = nn.initializers.zeros
 normal_init = nn.initializers.normal(stddev=1.0)
@@ -105,10 +125,17 @@ class SFFN(nn.Module):
         b1 = self.param("b1", zeros_init, (H, f))
         w2 = self.param("w2", nn.initializers.lecun_normal(), (H, f, d))
         b2 = self.param("b2", zeros_init, (H, d))
-        y = jnp.einsum("bthd,hdf->bthf", xh, w1) + b1
-        y = nn.Dropout(self.dropout)(nn.gelu(y, approximate=False), deterministic=not train)
-        y = jnp.einsum("bthf,hfd->bthd", y, w2) + b2
-        y = y.reshape(B, T, D)
+        if _use_pallas_sffn(train, B * T, d, f):
+            # fused block-diagonal kernel: hidden stays in VMEM instead of a
+            # [B, T, H, f] HBM round trip (see ops/pallas_sffn.py)
+            from ..ops.pallas_sffn import head_ffn
+            y = head_ffn(x.reshape(B * T, D), w1, b1, w2, b2).reshape(B, T, D)
+        else:
+            y = jnp.einsum("bthd,hdf->bthf", xh, w1) + b1
+            y = nn.Dropout(self.dropout)(nn.gelu(y, approximate=False),
+                                         deterministic=not train)
+            y = jnp.einsum("bthf,hfd->bthd", y, w2) + b2
+            y = y.reshape(B, T, D)
         y = x + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                  name="proj_out")(y, emb, train=train)
         return y

@@ -32,3 +32,24 @@ def collect_env() -> dict:
 if __name__ == "__main__":
     for k, v in collect_env().items():
         print(f"{k}: {v}")
+
+
+def enable_compilation_cache(path: str = "~/.cache/motioncraft_jax_cache",
+                             min_compile_secs: float = 5.0) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    Mosaic/Pallas kernels compile in minutes through remote-AOT TPU runtimes
+    (axon tunnel); caching executables on disk makes every process after the
+    first start in seconds.  Safe to call multiple times; harmless on CPU.
+    """
+    import os
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without these flags: cache is best-effort
+        pass

@@ -320,3 +320,22 @@ def test_moe_ragged_fused_dispatch_parity(monkeypatch):
     y_fused, _ = MoELayer(E, K, D, D * 2, dispatch_mode="ragged_fused").apply(p, x)
     np.testing.assert_allclose(np.asarray(y_slots), np.asarray(y_fused),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_sffn_head_ffn_kernel_parity():
+    """Pallas per-head FFN kernel (interpret) == jnp einsum reference,
+    including the non-BLOCK-aligned row tail."""
+    import numpy as np
+    from motioncraft_tpu.ops.pallas_sffn import (head_ffn, head_ffn_reference)
+    rng = np.random.RandomState(0)
+    H, d, f = 3, 128, 256
+    for n in (512, 700):  # aligned and padded row counts
+        x = jnp.asarray(rng.randn(n, H * d), jnp.float32)
+        w1 = jnp.asarray(rng.randn(H, d, f) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.randn(H, f) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.randn(H, f, d) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.randn(H, d) * 0.1, jnp.float32)
+        out = head_ffn(x, w1, b1, w2, b2, interpret=True)
+        ref = head_ffn_reference(x, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)

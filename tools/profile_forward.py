@@ -20,6 +20,10 @@ import jax
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+from motioncraft_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 
 
