@@ -92,21 +92,39 @@ class MotionDiffusion:
         return None
 
     def init(self, rng: jax.Array, example_batch: Dict[str, Any]):
-        """Initialise model variables from an example batch."""
+        """Initialise model variables from an example batch.
+
+        Runs on host CPU at a shrunken (B=1, T<=16) batch: parameter shapes
+        do not depend on B/T (sequence/MoE embeddings size off static
+        max_seq_len), flax init executes the forward eagerly, and on
+        remote-tunnel TPU runtimes an eager flagship forward costs ~30 ms
+        dispatch per op — tens of minutes for the full model."""
         motion = example_batch["motion"]
         B, T = motion.shape[:2]
+        ts = min(T, 16)
+
+        def shrink(a, time_axis_len):
+            a = a[:1]
+            if a.ndim >= 2 and time_axis_len:
+                k = max(1, int(a.shape[1] * ts / T))
+                a = a[:, :k]
+            return np.asarray(a)
+
         text_ids = example_batch.get("text_ids")
         if text_ids is None:
-            text_ids = jnp.asarray(tokenize(example_batch.get("text", [""] * B)))
-        t = jnp.zeros((B,), jnp.int32)
-        extra = {}
-        if example_batch.get("c") is not None:
-            extra["c"] = example_batch["c"]
-        variables = self.model.init(
-            {"params": rng}, motion, t,
-            motion_mask=example_batch["motion_mask"],
-            motion_length=example_batch["motion_length"],
-            text_ids=text_ids, method="init_all", **extra)
+            text_ids = jnp.asarray(tokenize(example_batch.get("text", [""])))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            t = jnp.zeros((1,), jnp.int32)
+            extra = {}
+            if example_batch.get("c") is not None:
+                extra["c"] = shrink(example_batch["c"], True)
+            variables = self.model.init(
+                {"params": jax.device_put(rng, cpu)}, shrink(motion, True), t,
+                motion_mask=shrink(example_batch["motion_mask"], True),
+                motion_length=np.minimum(
+                    shrink(example_batch["motion_length"], False), ts),
+                text_ids=np.asarray(text_ids[:1]), method="init_all", **extra)
         return variables
 
     # ------------------------------------------------------------------ train

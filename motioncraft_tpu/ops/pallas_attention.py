@@ -28,6 +28,11 @@ import numpy as np
 
 from .linear_attention import linear_attention_core
 
+# read ONCE at import: trace-time os.environ reads are a cache-key hazard
+import os as _os
+
+_ENV_PALLAS_ATTN = _os.environ.get("MOTIONCRAFT_PALLAS", "0")
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -126,15 +131,14 @@ fused_linear_attention.defvjp(_fwd, _bwd)
 def linear_attention(q_logits, k_logits, value, use_pallas: str = "auto"):
     """Dispatch: fused Pallas kernel or the XLA einsum path.
 
-    Default "auto" uses Pallas only when MOTIONCRAFT_PALLAS=1 AND the backend
-    is TPU: some AOT/remote-compile TPU environments cannot compile Mosaic
-    kernels, and XLA's fusion of this op is already decent — opt in after
-    validating on the target runtime."""
-    import os
+    Default "auto" uses Pallas only when MOTIONCRAFT_PALLAS=1 (read once at
+    import) AND the backend is TPU: some AOT/remote-compile TPU environments
+    compile Mosaic kernels very slowly, and XLA's fusion of this op is
+    already decent — opt in after validating on the target runtime."""
     if use_pallas == "never":
         return _reference(q_logits, k_logits, value)
     on_tpu = jax.default_backend() == "tpu"
-    enabled = os.environ.get("MOTIONCRAFT_PALLAS", "0") == "1"
+    enabled = _ENV_PALLAS_ATTN == "1"
     if use_pallas == "always" or (use_pallas == "auto" and on_tpu and enabled):
         return fused_linear_attention(q_logits, k_logits, value)
     return _reference(q_logits, k_logits, value)

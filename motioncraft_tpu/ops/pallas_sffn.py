@@ -25,18 +25,17 @@ from .pallas_ffn import _erf_f32  # Mosaic has no erf/erfc primitive
 BLOCK_N = 512  # rows per grid step
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, num_heads: int,
-            head_dim: int):
-    for h in range(num_heads):  # static unroll: H block-diagonal matmul pairs
-        xh = x_ref[:, h * head_dim:(h + 1) * head_dim]
-        hh = jax.lax.dot(xh, w1_ref[h], preferred_element_type=jnp.float32)
-        hh = hh + b1_ref[h, 0].astype(jnp.float32)
-        # exact (erf) gelu via the A&S polynomial (|err| <= 1.5e-7)
-        hh = hh * 0.5 * (1.0 + _erf_f32(hh * np.float32(2 ** -0.5)))
-        yh = jax.lax.dot(hh.astype(xh.dtype), w2_ref[h],
-                         preferred_element_type=jnp.float32)
-        yh = yh + b2_ref[h, 0].astype(jnp.float32)
-        o_ref[:, h * head_dim:(h + 1) * head_dim] = yh.astype(o_ref.dtype)
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    # one (head, row-block) cell: a single FFN dot pair on lane-sliced input
+    xh = x_ref[...]                                  # [BLOCK_N, d]
+    hh = jax.lax.dot(xh, w1_ref[0], preferred_element_type=jnp.float32)
+    hh = hh + b1_ref[0, 0].astype(jnp.float32)
+    # exact (erf) gelu via the A&S polynomial (|err| <= 1.5e-7)
+    hh = hh * 0.5 * (1.0 + _erf_f32(hh * np.float32(2 ** -0.5)))
+    yh = jax.lax.dot(hh.astype(xh.dtype), w2_ref[0],
+                     preferred_element_type=jnp.float32)
+    yh = yh + b2_ref[0, 0].astype(jnp.float32)
+    o_ref[...] = yh.astype(o_ref.dtype)
 
 
 def head_ffn(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
@@ -49,17 +48,20 @@ def head_ffn(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     assert hd == heads * d, (hd, heads, d)
     n_pad = ((n + BLOCK_N - 1) // BLOCK_N) * BLOCK_N
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+    # grid (H major, row-blocks minor): per-head weights are DMA'd once per
+    # head; each cell runs one [BLOCK_N, d] x [d, f] x [f, d] FFN pair on a
+    # 128-lane-aligned column slice of the interleaved [N, H*d] layout
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=heads, head_dim=d),
-        grid=(n_pad // BLOCK_N,),
+        _kernel,
+        grid=(heads, n_pad // BLOCK_N),
         in_specs=[
-            pl.BlockSpec((BLOCK_N, hd), lambda i: (i, 0)),
-            pl.BlockSpec((heads, d, f), lambda i: (0, 0, 0)),
-            pl.BlockSpec((heads, 1, f), lambda i: (0, 0, 0)),
-            pl.BlockSpec((heads, f, d), lambda i: (0, 0, 0)),
-            pl.BlockSpec((heads, 1, d), lambda i: (0, 0, 0)),
+            pl.BlockSpec((BLOCK_N, d), lambda h, i: (i, h)),
+            pl.BlockSpec((1, d, f), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, 1, f), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, f, d), lambda h, i: (h, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda h, i: (h, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((BLOCK_N, hd), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((BLOCK_N, d), lambda h, i: (i, h)),
         out_shape=jax.ShapeDtypeStruct((n_pad, hd), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -42,11 +42,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--t", type=int, default=196)
+    ap.add_argument("--layers", type=int, default=4,
+                    help="layer-count sweep separates per-layer cost from "
+                         "the pose/embed/CFG plumbing intercept")
     args = ap.parse_args()
 
     from motioncraft_tpu.apis import build_flagship, flagship_t2m_cfg, make_text_batch
 
-    cfg = flagship_t2m_cfg()
+    cfg = flagship_t2m_cfg(num_layers=args.layers)
     arch = build_flagship(cfg)
     B, T = args.batch, args.t
     texts = [f"a person performs action number {i}" for i in range(B)]
@@ -72,7 +75,7 @@ def main():
         return carry + out.astype(jnp.float32).mean()
 
     dt = loop_slope(fwd) * 1e3
-    print(f"CFG forward B={B} T={T}: {dt:8.3f} ms  "
+    print(f"CFG forward B={B} T={T} layers={args.layers}: {dt:8.3f} ms  "
           f"({B / (dt / 1e3) * 60 / 50:.0f} motions/min at DDIM-50 if "
           f"forward-bound)", flush=True)
 
