@@ -94,11 +94,12 @@ class MotionDiffusion:
     def init(self, rng: jax.Array, example_batch: Dict[str, Any]):
         """Initialise model variables from an example batch.
 
-        Runs on host CPU at a shrunken (B=1, T<=16) batch: parameter shapes
-        do not depend on B/T (sequence/MoE embeddings size off static
-        max_seq_len), flax init executes the forward eagerly, and on
-        remote-tunnel TPU runtimes an eager flagship forward costs ~30 ms
-        dispatch per op — tens of minutes for the full model."""
+        Jitted at a shrunken (B=1, T<=16) batch: parameter shapes do not
+        depend on B/T (sequence/MoE embeddings size off static max_seq_len),
+        and flax's default EAGER init of the flagship forward costs ~30 ms
+        dispatch per op on remote-tunnel TPU runtimes — tens of minutes per
+        process.  One tiny-shape compile replaces that; Pallas kernels are
+        gated out of the init trace (size floors + no_pallas)."""
         motion = example_batch["motion"]
         B, T = motion.shape[:2]
         ts = min(T, 16)
@@ -113,19 +114,35 @@ class MotionDiffusion:
         text_ids = example_batch.get("text_ids")
         if text_ids is None:
             text_ids = jnp.asarray(tokenize(example_batch.get("text", [""])))
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            t = jnp.zeros((1,), jnp.int32)
-            extra = {}
-            if example_batch.get("c") is not None:
-                extra["c"] = shrink(example_batch["c"], True)
-            variables = self.model.init(
-                {"params": jax.device_put(rng, cpu)}, shrink(motion, True), t,
-                motion_mask=shrink(example_batch["motion_mask"], True),
-                motion_length=np.minimum(
-                    shrink(example_batch["motion_length"], False), ts),
-                text_ids=np.asarray(text_ids[:1]), method="init_all", **extra)
-        return variables
+
+        from ..ops.kernel_gate import no_pallas
+
+        def _init_fn(rng_, motion_, mask_, lengths_, text_ids_, c_=None):
+            extra = {} if c_ is None else {"c": c_}
+            with no_pallas():  # trace-time gate; kernels also size-floored
+                return self.model.init(
+                    {"params": rng_}, motion_,
+                    jnp.zeros((motion_.shape[0],), jnp.int32),
+                    motion_mask=mask_, motion_length=lengths_,
+                    text_ids=text_ids_, method="init_all", **extra)
+
+        jit_kwargs = {}
+        try:
+            m = jax.sharding.get_mesh()
+            if m is not None and not getattr(m, "empty", True):
+                # ambient mesh (e.g. multichip dryrun/train): pin params to
+                # fully-replicated so downstream pjit in_shardings match
+                jit_kwargs["out_shardings"] = jax.sharding.NamedSharding(
+                    m, jax.sharding.PartitionSpec())
+        except Exception:
+            pass
+        c = example_batch.get("c")
+        return jax.jit(_init_fn, **jit_kwargs)(
+            rng, shrink(motion, True),
+            shrink(example_batch["motion_mask"], True),
+            np.minimum(shrink(example_batch["motion_length"], False), ts),
+            np.asarray(text_ids[:1]),
+            *(() if c is None else (shrink(c, True),)))
 
     # ------------------------------------------------------------------ train
     def loss(self, variables, batch: Dict[str, Any], rng: jax.Array,

@@ -30,7 +30,8 @@ def _use_pallas_sffn(train: bool, n_rows: int, d: int, f: int) -> bool:
     """Fused per-head FFN kernel at inference on TPU, above a row floor
     (a fresh Mosaic compile costs minutes on remote-AOT runtimes) and only
     at lane-aligned head dims."""
-    if train or _ENV_SFFN == "0":
+    from ..ops.kernel_gate import pallas_disabled
+    if train or _ENV_SFFN == "0" or pallas_disabled():
         return False
     if d % 128 or f % 128:
         return False

@@ -115,6 +115,9 @@ class MoELayer(nn.Module):
         (16.8 vs 23.9 ms/call for the lax.ragged_dot pair at flagship shapes
         on v5e).  Opt out with MOTIONCRAFT_MOE_FUSED=0 (e.g. on runtimes
         where the Mosaic AOT compile stalls)."""
+        from ..ops.kernel_gate import pallas_disabled
+        if pallas_disabled():
+            return False
         if self.dispatch_mode == "ragged_fused":
             return True
         if self.dispatch_mode == "auto" and _ENV_FUSED != "0":

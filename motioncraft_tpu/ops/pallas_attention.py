@@ -135,7 +135,8 @@ def linear_attention(q_logits, k_logits, value, use_pallas: str = "auto"):
     import) AND the backend is TPU: some AOT/remote-compile TPU environments
     compile Mosaic kernels very slowly, and XLA's fusion of this op is
     already decent — opt in after validating on the target runtime."""
-    if use_pallas == "never":
+    from .kernel_gate import pallas_disabled
+    if use_pallas == "never" or pallas_disabled():
         return _reference(q_logits, k_logits, value)
     on_tpu = jax.default_backend() == "tpu"
     enabled = _ENV_PALLAS_ATTN == "1"
