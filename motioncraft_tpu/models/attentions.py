@@ -73,7 +73,7 @@ class EfficientSelfAttention(nn.Module):
     def __call__(self, x, src_mask=None, emb=None, train: bool = False, **kwargs):
         B, T, D = x.shape
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
         q_logits = nn.Dense(D, name="query")(xn)
         k_logits = nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
         v = nn.Dense(D, name="value")(xn) * src_mask
@@ -108,8 +108,8 @@ class EfficientCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
-        tn = nn.LayerNorm(name="text_norm")(xf)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(tn)
         if cond_type is None:
@@ -138,8 +138,8 @@ class EfficientMixedAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1] + T
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
-        tn = nn.LayerNorm(name="text_norm")(xf)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         tc = _text_cond_mask(cond_type, B)
         sm = src_mask.reshape(B, T, 1)
         key = jnp.concatenate([
@@ -173,7 +173,7 @@ class BaseSelfAttention(nn.Module):
     def __call__(self, x, emb=None, src_mask=None, train: bool = False, **kwargs):
         B, T, D = x.shape
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(xn).reshape(B, T, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
@@ -199,8 +199,8 @@ class BaseCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
-        tn = nn.LayerNorm(name="text_norm")(xf)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(tn).reshape(B, N, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
@@ -230,8 +230,8 @@ class BaseMixedAttention(nn.Module):
         B, T, D = x.shape
         Nt = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x)
-        tn = nn.LayerNorm(name="text_norm")(xf)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         tc = _text_cond_mask(cond_type, B)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = jnp.concatenate([
@@ -305,11 +305,11 @@ class STMA(nn.Module):
                                   self.text_latent_dim * 4, 2 * L, self.num_text_heads,
                                   self.max_text_seq_len, self.gate_type, self.gate_noise,
                                   expert_axis=self.expert_axis, name="text_moe")(
-            nn.LayerNorm(name="text_norm")(text_feat), train=train)
+            nn.LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
         motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 4 * L, H,
                                       self.max_seq_len, self.gate_type, self.gate_noise,
                                       expert_axis=self.expert_axis, name="motion_moe")(
-            nn.LayerNorm(name="norm")(xh), train=train)
+            nn.LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
 
         body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
         body_value = motion_feat[:, :, :, :L]
@@ -394,11 +394,11 @@ class SAMI(nn.Module):
                                   self.text_latent_dim * 4, 2 * L, self.num_text_heads,
                                   self.max_text_seq_len, self.gate_type, self.gate_noise,
                                   expert_axis=self.expert_axis, name="text_moe")(
-            nn.LayerNorm(name="text_norm")(text_feat), train=train)
+            nn.LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
         motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 3 * L, H,
                                       self.max_seq_len, self.gate_type, self.gate_noise,
                                       expert_axis=self.expert_axis, name="motion_moe")(
-            nn.LayerNorm(name="norm")(xh), train=train)
+            nn.LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
 
         body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
         body_feat = jnp.einsum("hl,bnld->bnhd", jax.nn.softmax(body_weight, axis=1),
@@ -492,8 +492,8 @@ class SemanticsModulatedAttention(nn.Module):
         R, Tr = re_motion.shape[1], re_motion.shape[2]
         N = xf.shape[1] + T + R * Tr
 
-        xn = nn.LayerNorm(name="norm")(x)
-        tn = nn.LayerNorm(name="text_norm")(xf)
+        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         text_cond = ((cond_type % 10) > 0).astype(x.dtype)
         retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
 
@@ -502,7 +502,7 @@ class SemanticsModulatedAttention(nn.Module):
         ).reshape(B, R * Tr, 2 * D)
         key = jnp.concatenate([
             nn.Dense(D, name="key_text")(tn) + (1 - text_cond) * NEG_INF,
-            nn.Dense(D, name="key_retr")(nn.LayerNorm(name="retr_norm1")(re_feat_key))
+            nn.Dense(D, name="key_retr")(nn.LayerNorm(name="retr_norm1")(re_feat_key).astype(re_feat_key.dtype))
             + (1 - retr_cond) * NEG_INF + (1 - re_mask) * NEG_INF,
             nn.Dense(D, name="key_motion")(xn) + (1 - src_mask) * NEG_INF,
         ], axis=1)
@@ -513,7 +513,7 @@ class SemanticsModulatedAttention(nn.Module):
         from .blocks import ZeroDense
         value = jnp.concatenate([
             nn.Dense(D, name="value_text")(tn) * text_cond,
-            ZeroDense(D, name="value_retr")(nn.LayerNorm(name="retr_norm2")(re_feat_value))
+            ZeroDense(D, name="value_retr")(nn.LayerNorm(name="retr_norm2")(re_feat_value).astype(re_feat_value.dtype))
             * retr_cond * re_mask,
             nn.Dense(D, name="value_motion")(xn) * src_mask,
         ], axis=1).reshape(B, N, H, -1)
@@ -547,7 +547,7 @@ class DualSemanticsModulatedAttention(nn.Module):
         N = xf.shape[1] + 2 * T + R * Tr
 
         norm = nn.LayerNorm(name="norm")
-        tn = nn.LayerNorm(name="text_norm")(xf)
+        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         text_cond = ((cond_type % 10) > 0).astype(x.dtype)
         retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
 

@@ -78,7 +78,7 @@ class StylizationBlock(nn.Module):
         # emb: [B, time_embed_dim] -> [B, 1, 2*latent]
         emb_out = nn.Dense(2 * self.latent_dim, name="emb_layers")(nn.silu(emb))[:, None, :]
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = nn.LayerNorm(name="norm")(h) * (1 + scale) + shift
+        h = nn.LayerNorm(name="norm")(h).astype(h.dtype) * (1 + scale) + shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = ZeroDense(self.latent_dim, name="out_layers")(h)
@@ -158,7 +158,7 @@ class PatchEmbed1D(nn.Module):
         x = nn.Conv(self.embed_dim, kernel_size=(self.patch_size,),
                     strides=(self.patch_size,), padding="VALID", name="proj")(x)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(name="norm")(x).astype(x.dtype)
         return x
 
 

@@ -113,6 +113,11 @@ class DiffusionTransformerBase(nn.Module):
                  mode: str = "test", train: bool = False, **kwargs):
         src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
         h, emb = self._embed(motion, timesteps)
+        # keep the whole stack in the compute dtype: the f32 timestep
+        # embedding / f32 motion_mask otherwise promote every residual and
+        # masked-key tensor to f32, doubling HBM traffic at bf16 inference
+        emb = emb.astype(h.dtype)
+        src_mask = src_mask.astype(h.dtype)
         if self.use_text_proj and xf_proj is not None:
             emb = emb + xf_proj
         common = dict(src_mask=src_mask, emb=emb, xf_out=xf_out,
