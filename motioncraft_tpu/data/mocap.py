@@ -203,3 +203,44 @@ def write_bvh(data: BVHData, path: str,
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
     return path
+
+
+def expmap_to_euler(expmaps: np.ndarray, order: str = "ZXY") -> np.ndarray:
+    """[T, J, 3] exponential maps -> euler angles (deg) in the given
+    rotation order (pymo rotation_tools expmap2euler equivalent; inverse of
+    euler_to_expmap for writing generated motion back to BVH)."""
+    from ..ops.rotation import axis_angle_to_matrix  # numpy-compatible formulas
+    import jax.numpy as jnp
+
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray(expmaps.reshape(-1, 3))))
+    R = R.reshape(expmaps.shape[:-1] + (3, 3))
+    out = np.zeros_like(expmaps)
+    if order.upper() == "ZXY":
+        # R = Rz @ Rx @ Ry (pymo's euler2mat with order 'ZXY' applies
+        # channels left to right)
+        x = np.arcsin(np.clip(R[..., 2, 1], -1.0, 1.0))
+        cx = np.cos(x)
+        z = np.arctan2(-R[..., 0, 1] / np.where(cx == 0, 1, cx),
+                       R[..., 1, 1] / np.where(cx == 0, 1, cx))
+        y = np.arctan2(-R[..., 2, 0] / np.where(cx == 0, 1, cx),
+                       R[..., 2, 2] / np.where(cx == 0, 1, cx))
+        out[..., 0], out[..., 1], out[..., 2] = z, x, y
+    elif order.upper() == "XYZ":
+        # R = Rx @ Ry @ Rz (channels applied left to right)
+        y = np.arcsin(np.clip(R[..., 0, 2], -1.0, 1.0))
+        x = np.arctan2(-R[..., 1, 2], R[..., 2, 2])
+        z = np.arctan2(-R[..., 0, 1], R[..., 0, 0])
+        out[..., 0], out[..., 1], out[..., 2] = x, y, z
+    else:
+        raise ValueError(f"unsupported order {order}")
+    return np.degrees(out)
+
+
+def standard_scale(frames: np.ndarray, mean: Optional[np.ndarray] = None,
+                   std: Optional[np.ndarray] = None):
+    """Per-channel standardization (pymo ListStandardScaler): returns
+    (scaled, mean, std); pass stored stats to apply, None to fit."""
+    if mean is None:
+        mean = frames.reshape(-1, frames.shape[-1]).mean(axis=0)
+        std = frames.reshape(-1, frames.shape[-1]).std(axis=0) + 1e-8
+    return (frames - mean) / std, mean, std

@@ -97,3 +97,33 @@ def test_bvh_write_parse_roundtrip(tmp_path):
     np.testing.assert_allclose(back.frames, data.frames, atol=1e-5)
     np.testing.assert_allclose(
         forward_kinematics(back), forward_kinematics(data), atol=1e-4)
+
+
+def test_expmap_to_euler_roundtrip():
+    """expmap -> euler (ZXY / XYZ) -> rotation matrix reproduces the
+    original rotation."""
+    import jax.numpy as jnp
+    import numpy as np
+    from motioncraft_tpu.data.mocap import _euler_axis_matrix, expmap_to_euler
+    from motioncraft_tpu.ops.rotation import axis_angle_to_matrix
+    rng = np.random.RandomState(0)
+    aa = rng.randn(5, 4, 3) * 0.8
+    want = np.asarray(axis_angle_to_matrix(jnp.asarray(aa.reshape(-1, 3)))).reshape(5, 4, 3, 3)
+    for order in ("ZXY", "XYZ"):
+        eul = np.deg2rad(expmap_to_euler(aa, order=order))
+        R = np.broadcast_to(np.eye(3), want.shape).copy()
+        for i, ax in enumerate(order):
+            R = R @ _euler_axis_matrix(eul[..., i], ax)
+        np.testing.assert_allclose(R, want, atol=1e-5)
+
+
+def test_standard_scale_fit_apply():
+    import numpy as np
+    from motioncraft_tpu.data.mocap import standard_scale
+    rng = np.random.RandomState(0)
+    x = rng.randn(100, 7) * 3 + 2
+    y, m, s = standard_scale(x)
+    np.testing.assert_allclose(y.mean(0), 0, atol=1e-7)
+    np.testing.assert_allclose(y.std(0), 1, atol=1e-4)
+    y2, _, _ = standard_scale(x[:10], m, s)
+    np.testing.assert_allclose(y2, y[:10], atol=1e-12)
