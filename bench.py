@@ -138,7 +138,8 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30):
     repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
                             jump_n_sample=2)
     kw = dict(make_window_batch=make_window_batch, total_frames=total_frames,
-              window=window, pre_frames=pre, use_repaint=True, repaint=repaint)
+              window=window, pre_frames=pre, use_repaint=True, repaint=repaint,
+              compute_dtype=jnp.bfloat16)
     t0 = time.time()
     windowed_sample(arch, variables, rng=jax.random.PRNGKey(1), **kw)
     print(f"bench: s2g compile+first recording {time.time() - t0:.1f}s",

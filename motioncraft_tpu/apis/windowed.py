@@ -37,17 +37,21 @@ def _jitted_samplers(arch):
     shapes/modes underneath a single wrapper."""
     cache = getattr(arch, "_windowed_jit_cache", None)
     if cache is None:
-        def outpaint_fn(v, b, r, gt, mask, prev_tail, clip_idx_gt0):
+        def outpaint_fn(v, b, r, gt, mask, prev_tail, clip_idx_gt0, dt):
             op = Outpainting(mask=mask, gt=gt,
                              clip_idx=1 if clip_idx_gt0 else 0,
                              previous_noisy_tail=prev_tail)
-            return arch.sample(v, b, r, outpainting=op)
+            return arch.sample(v, b, r, outpainting=op, compute_dtype=dt)
 
         cache = {
-            "plain": jax.jit(lambda v, b, r: arch.sample(v, b, r)),
+            "plain": jax.jit(
+                lambda v, b, r, dt: arch.sample(v, b, r, compute_dtype=dt),
+                static_argnums=(3,)),
             "pre_seq": jax.jit(
-                lambda v, b, r, p: arch.sample(v, b, r, pre_seq=p)),
-            "outpaint": jax.jit(outpaint_fn, static_argnums=(6,)),
+                lambda v, b, r, p, dt: arch.sample(v, b, r, pre_seq=p,
+                                                   compute_dtype=dt),
+                static_argnums=(4,)),
+            "outpaint": jax.jit(outpaint_fn, static_argnums=(6, 7)),
         }
         arch._windowed_jit_cache = cache
     return cache
@@ -65,6 +69,7 @@ def windowed_sample(
     use_repaint: bool = True,
     repaint: Optional[RepaintConfig] = None,
     feat_dim: int = 322,
+    compute_dtype=None,
 ) -> np.ndarray:
     """Generate ``total_frames`` of motion window by window.
 
@@ -97,11 +102,12 @@ def windowed_sample(
 
         if w == 0 or not use_repaint:
             if w == 0:
-                result = sample_jit(variables, batch, sub)
+                result = sample_jit(variables, batch, sub, compute_dtype)
             else:
                 # seed the overlap with the previous tail (pre_seq path)
                 pre_seq = last_window[:, -pre_frames:, :]
-                result = sample_preseq(variables, batch, sub, pre_seq)
+                result = sample_preseq(variables, batch, sub, pre_seq,
+                                       compute_dtype)
             sample = result[0] if isinstance(result, tuple) else result
         else:
             D = feat_dim
@@ -111,8 +117,10 @@ def windowed_sample(
             prev_tail = (noisy_tail if noisy_tail is not None else
                          jnp.zeros((arch.diffusion_test.num_timesteps, 1,
                                     repaint.overlap_len, D)))
-            result = sample_outpaint(variables, batch, sub, gt, mask, prev_tail,
-                                     noisy_tail is not None and repaint.same_overlap_noisy)
+            result = sample_outpaint(
+                variables, batch, sub, gt, mask, prev_tail,
+                noisy_tail is not None and repaint.same_overlap_noisy,
+                compute_dtype)
             if isinstance(result, tuple):
                 sample, noisy_tail = result
             else:

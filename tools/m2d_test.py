@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--no_repaint", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 denoiser compute in the windowed sampler "
+                        "(params cast + compute_dtype; metrics math stays f32)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -98,12 +101,18 @@ def main():
             variables = load_eval_variables(
                 cfg.model, variables, checkpoint=args.checkpoint,
                 torch_checkpoint=args.torch_checkpoint)
+            if args.bf16:  # bf16_cast_variables
+                variables = jax.tree_util.tree_map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                    else a, variables)
 
         rng, sub = jax.random.split(rng)
         norm_pred = windowed_sample(arch, variables, make_window_batch,
                                     total_frames=T, window=window, pre_frames=pre,
                                     rng=sub, use_repaint=not args.no_repaint,
-                                    repaint=arch.repaint_cfg)
+                                    repaint=arch.repaint_cfg,
+                                    compute_dtype=jnp.bfloat16 if args.bf16 else None)
         pred = denormalize(norm_pred, mean, std)
         preds.append(pred)
         gts.append(motion[: len(pred)])
