@@ -169,6 +169,34 @@ class TestWindowed:
                               repaint=arch.repaint_cfg)
         assert out.shape == (total, D_IN) and np.isfinite(out).all()
 
+    def test_windowed_bf16_compute(self, ctrl_arch):
+        """compute_dtype=bfloat16 runs the same windowed path (params cast,
+        f32 output) and stays finite."""
+        from motioncraft_tpu.apis.windowed import windowed_sample
+        arch, variables, _ = ctrl_arch
+        vb = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, variables)
+        rng_np = np.random.RandomState(7)
+        spf = 16000 // 30
+        audio_full = rng_np.randn(40 * spf, 2).astype(np.float32)
+
+        def make_window_batch(start, end):
+            b = make_batch(rng_np, with_audio=False)
+            b["motion"] = jnp.zeros((1, T, D_IN))
+            b["c"] = jnp.asarray(audio_full[start * spf:end * spf])[None]
+            return b
+
+        arch._windowed_jit_cache = None  # bf16 variables need a fresh trace
+        out = windowed_sample(arch, vb, make_window_batch,
+                              total_frames=40, window=T, pre_frames=4,
+                              rng=jax.random.PRNGKey(8), use_repaint=True,
+                              repaint=arch.repaint_cfg,
+                              compute_dtype=jnp.bfloat16)
+        arch._windowed_jit_cache = None
+        assert out.shape == (40, D_IN) and np.isfinite(out).all()
+
     def test_windowed_no_repaint(self, ctrl_arch):
         from motioncraft_tpu.apis.windowed import windowed_sample
         arch, variables, _ = ctrl_arch
