@@ -32,6 +32,27 @@ from .moe import MOE
 
 NEG_INF = -1000000.0
 
+# read ONCE at import (trace-time env reads are a cache-key hazard)
+import os as _os
+
+_ENV_STMA_KERNEL = _os.environ.get("MOTIONCRAFT_PALLAS_STMA")
+
+
+def _use_stma_kernel(train: bool, num_text_heads: int, d: int,
+                     n_tokens: int) -> bool:
+    """Fused STMA linear-attention kernel at inference on TPU: single text
+    head, lane-aligned head dim, and a token floor (a fresh Mosaic compile
+    costs minutes on remote-AOT runtimes).  MOTIONCRAFT_PALLAS_STMA=0
+    disables, =1 forces (tests run it interpreted off-TPU)."""
+    from ..ops.kernel_gate import pallas_disabled
+    if train or num_text_heads != 1 or d % 128 or pallas_disabled():
+        return False
+    if _ENV_STMA_KERNEL == "0":
+        return False
+    if _ENV_STMA_KERNEL == "1":
+        return True
+    return jax.default_backend() == "tpu" and n_tokens >= 65536
+
 
 def _text_cond_mask(cond_type, B):
     """cond_type [B,1,1] ints; text active when cond_type % 10 > 0."""
@@ -332,20 +353,30 @@ class STMA(nn.Module):
             src_mask = fold_patch_mask(src_mask, self.patch_size)
         src_mask = src_mask.reshape(B, T, 1, 1)
 
-        key_text = text_feat[:, :, :, :L] + (1 - text_cond_type) * NEG_INF
-        if self.num_text_heads == 1:
-            key_text = jnp.broadcast_to(key_text, (B, key_text.shape[1], H, L))
-        key_motion = motion_feat[:, :, :, L:2 * L] + (1 - src_mask) * NEG_INF
-        key = jnp.concatenate([key_text, key_motion], axis=1)
+        if _use_stma_kernel(train, self.num_text_heads, L, B * T * H):
+            # fused per-(batch, head) kernel over the interleaved layout:
+            # no key/value concats, no masked-key / softmax HBM
+            # materializations (ops/pallas_stma_attention.py)
+            from ..ops.pallas_stma_attention import stma_linear_attention
+            y_t = stma_linear_attention(
+                motion_feat, text_feat.reshape(B, -1, 2 * L),
+                src_mask.reshape(B, T, 1),
+                text_cond_type.reshape(B, 1, 1)).reshape(B, T, D)
+        else:
+            key_text = text_feat[:, :, :, :L] + (1 - text_cond_type) * NEG_INF
+            if self.num_text_heads == 1:
+                key_text = jnp.broadcast_to(key_text, (B, key_text.shape[1], H, L))
+            key_motion = motion_feat[:, :, :, L:2 * L] + (1 - src_mask) * NEG_INF
+            key = jnp.concatenate([key_text, key_motion], axis=1)
 
-        value_text = text_feat[:, :, :, L:] * text_cond_type
-        if self.num_text_heads == 1:
-            value_text = jnp.broadcast_to(value_text, (B, value_text.shape[1], H, L))
-        value_motion = motion_feat[:, :, :, 2 * L:3 * L] * src_mask
-        value = jnp.concatenate([value_text, value_motion], axis=1)
+            value_text = text_feat[:, :, :, L:] * text_cond_type
+            if self.num_text_heads == 1:
+                value_text = jnp.broadcast_to(value_text, (B, value_text.shape[1], H, L))
+            value_motion = motion_feat[:, :, :, 2 * L:3 * L] * src_mask
+            value = jnp.concatenate([value_text, value_motion], axis=1)
 
-        query = motion_feat[:, :, :, 3 * L:]
-        y_t = linear_attention(query, key, value).reshape(B, T, D)
+            query = motion_feat[:, :, :, 3 * L:]
+            y_t = linear_attention(query, key, value).reshape(B, T, D)
         y = xh.reshape(B, T, D) + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                                    name="proj_out")(body_feat + y_t, emb,
                                                                     train=train)

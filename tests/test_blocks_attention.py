@@ -339,3 +339,55 @@ def test_sffn_head_ffn_kernel_parity():
         ref = head_ffn_reference(x, w1, b1, w2, b2)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_stma_linear_attention_kernel_parity():
+    """Fused STMA attention kernel (interpret) == the XLA concat/softmax
+    reference, with partial masks and both CFG halves (text on/off)."""
+    import numpy as np
+    from motioncraft_tpu.ops.pallas_stma_attention import (
+        stma_linear_attention, stma_linear_attention_reference)
+    rng = np.random.RandomState(0)
+    B, T, H, d, TXT = 4, 21, 3, 128, 7
+    motion_feat = jnp.asarray(rng.randn(B, T, H, 4 * d), jnp.float32)
+    text_feat = jnp.asarray(rng.randn(B, TXT, 2 * d), jnp.float32)
+    mask = np.ones((B, T, 1), np.float32)
+    mask[1, 10:] = 0
+    mask[3, 4:] = 0
+    tcond = np.array([1, 1, 0, 0], np.float32).reshape(B, 1, 1)
+    out = stma_linear_attention(motion_feat, text_feat, jnp.asarray(mask),
+                                jnp.asarray(tcond), interpret=True)
+    ref = stma_linear_attention_reference(motion_feat, text_feat,
+                                          jnp.asarray(mask), jnp.asarray(tcond))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_stma_module_kernel_parity(monkeypatch):
+    """STMA with the fused attention kernel (forced, interpreted) equals the
+    XLA concat path end-to-end."""
+    import numpy as np
+    from motioncraft_tpu.models import attentions
+    from motioncraft_tpu.ops import pallas_stma_attention as psa
+    B, T, H, L = 2, 9, 3, 128
+    stma = STMA(latent_dim=L, text_latent_dim=32, num_heads=H, num_text_heads=1,
+                num_experts=4, topk=2, gate_noise=0.0, ffn_dim=32,
+                time_embed_dim=16, max_seq_len=T, max_text_seq_len=5,
+                dropout=0.0, dynamic_body=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, H * L), jnp.float32)
+    xf = jnp.asarray(rng.randn(B, 5, 32), jnp.float32)
+    emb = jnp.asarray(rng.randn(B, 16), jnp.float32)
+    mask = jnp.asarray(np.concatenate([np.ones((B, 6, 1)), np.zeros((B, 3, 1))], 1),
+                       jnp.float32)
+    cond = jnp.asarray(np.array([1.0, 0.0]).reshape(B, 1, 1))
+    params = stma.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, src_mask=mask,
+                       cond_type=cond)
+    y_xla = stma.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond)
+    monkeypatch.setattr(attentions, "_ENV_STMA_KERNEL", "1")
+    orig = psa.stma_linear_attention
+    monkeypatch.setattr(psa, "stma_linear_attention",
+                        lambda *a, **kw: orig(*a, **{**kw, "interpret": True}))
+    y_fused = stma.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond)
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y_fused),
+                               atol=3e-5, rtol=3e-5)
