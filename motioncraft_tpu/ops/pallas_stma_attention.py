@@ -27,21 +27,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1000000.0
 
 
-def _kernel(mot_ref, txt_ref, mask_ref, tcond_ref, o_ref, *, d: int):
+def _kernel(tcond_ref, mot_ref, txt_ref, mask_ref, o_ref, *, d: int):
     mot = mot_ref[0]                       # [T, 4d] one head's projection
     txt = txt_ref[0]                       # [TXT, 2d] shared text projection
     mask = mask_ref[0].astype(jnp.float32)     # [T, 1] 1=valid
-    tcond = tcond_ref[0].astype(jnp.float32)   # [1, 1] 1=text on
+    # per-batch text-cond arrives via scalar prefetch: a (1, 1) vector block
+    # broadcast to [TXT, d] needs both sublane+lane broadcast, which Mosaic
+    # does not implement — a scalar splat does
+    tc = tcond_ref[pl.program_id(0)].astype(jnp.float32)
 
     k_mot = mot[:, d:2 * d].astype(jnp.float32) + (1.0 - mask) * NEG_INF
     v_mot = mot[:, 2 * d:3 * d].astype(jnp.float32) * mask
     q = mot[:, 3 * d:4 * d].astype(jnp.float32)
-    k_txt = txt[:, :d].astype(jnp.float32) + (1.0 - tcond) * NEG_INF
-    v_txt = txt[:, d:].astype(jnp.float32) * tcond
+    k_txt = txt[:, :d].astype(jnp.float32) + (1.0 - tc) * NEG_INF
+    v_txt = txt[:, d:].astype(jnp.float32) * tc
 
     # key softmax over the joint (text ++ motion) sequence, two-part
     kmax = jnp.maximum(jnp.max(k_mot, axis=0, keepdims=True),
@@ -77,16 +81,19 @@ def stma_linear_attention(motion_feat: jnp.ndarray, text_feat: jnp.ndarray,
     d = d4 // 4
     TXT = text_feat.shape[1]
     mot = motion_feat.reshape(B, T, H * d4)
-    out = pl.pallas_call(
-        functools.partial(_kernel, d=d),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, T, d4), lambda b, h: (b, 0, h)),
-            pl.BlockSpec((1, TXT, 2 * d), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, T, 1), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, T, d4), lambda b, h, tc: (b, 0, h)),
+            pl.BlockSpec((1, TXT, 2 * d), lambda b, h, tc: (b, 0, 0)),
+            pl.BlockSpec((1, T, 1), lambda b, h, tc: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, T, d), lambda b, h: (b, 0, h)),
+        out_specs=pl.BlockSpec((1, T, d), lambda b, h, tc: (b, 0, h)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, d=d),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, H * d), motion_feat.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -95,8 +102,8 @@ def stma_linear_attention(motion_feat: jnp.ndarray, text_feat: jnp.ndarray,
             * motion_feat.dtype.itemsize,
             transcendentals=B * H * (2 * T + TXT) * d,
         ),
-    )(mot, text_feat, src_mask.astype(motion_feat.dtype),
-      text_cond.astype(motion_feat.dtype))
+    )(text_cond.reshape(B).astype(jnp.float32), mot, text_feat,
+      src_mask.astype(motion_feat.dtype))
     return out.reshape(B, T, H, d)
 
 
