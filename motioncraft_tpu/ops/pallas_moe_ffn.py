@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_ffn import _erf_f32  # Mosaic has no erf/erfc primitive
 
-BLOCK = 512  # rows per grid step; group offsets must be BLOCK-aligned
+BLOCK = 512  # rows per grid step; group offsets must be BLOCK-aligned (1024 measured ~1.5% faster standalone; kept at 512 for cache stability)
 
 
 def _kernel(be_ref, x_ref, w1_ref, b1_ref, w2_ref, o_ref):
