@@ -54,6 +54,10 @@ class DiffusionTransformerBase(nn.Module):
     time_embedding_type: str = "sinusoidal"
     post_process_cfg: Optional[dict] = None
     init_cfg: Optional[dict] = None
+    # rematerialize decoder blocks in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for O(num_layers) less activation
+    # memory — enables reference-recipe batch sizes (64-128) on a 16 GB v5e
+    remat: bool = False
 
     # --------------------------------------------------------------- setup
     def setup(self):

@@ -121,22 +121,30 @@ class PoseDecoder(nn.Module):
 
 
 class STMoGenDecoderLayer(nn.Module):
-    """ca_block (STMA) + SFFN (reference stmogen.py:610-623)."""
+    """ca_block (STMA) + SFFN (reference stmogen.py:610-623).
+
+    The call signature is positional (num_intervals/train last) so
+    ``nn.remat(..., static_argnums=(6, 7))`` can mark the python-valued args
+    static when activation rematerialization is enabled."""
 
     ca_block_cfg: Optional[dict] = None
     ffn_cfg: Optional[dict] = None
 
     @nn.compact
-    def __call__(self, x, **kwargs):
+    def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
+                 motion_length=None, num_intervals=1, train=False):
         if self.ca_block_cfg is not None:
-            x = ATTENTIONS.build(self.ca_block_cfg, name="ca_block")(x, **kwargs)
+            x = ATTENTIONS.build(self.ca_block_cfg, name="ca_block")(
+                x, xf=xf, emb=emb, src_mask=src_mask, cond_type=cond_type,
+                motion_length=motion_length, num_intervals=num_intervals,
+                train=train)
         if self.ffn_cfg is not None:
             cfg = dict(self.ffn_cfg)
             x = SFFN(latent_dim=cfg.pop("latent_dim"), ffn_dim=cfg.pop("ffn_dim"),
                      num_heads=cfg.pop("num_heads"),
                      dropout=cfg.pop("dropout", 0.0),
                      time_embed_dim=cfg.pop("time_embed_dim", 2048),
-                     name="ffn")(x, kwargs["emb"], train=kwargs.get("train", False))
+                     name="ffn")(x, emb, train=train)
         return x
 
 
@@ -159,12 +167,14 @@ class STMoGenTransformer(DiffusionTransformerBase):
                                patch_size=self.patch_size)
 
     def build_temporal_blocks(self):
+        layer_cls = (nn.remat(STMoGenDecoderLayer, static_argnums=(7, 8))
+                     if self.remat else STMoGenDecoderLayer)
         blocks = []
         for i in range(self.num_layers):
             ffn_cfg = (self.ffn_cfg[i] if isinstance(self.ffn_cfg, (list, tuple))
                        else self.ffn_cfg)
-            blocks.append(STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
-                                              ffn_cfg=ffn_cfg, name=f"block_{i}"))
+            blocks.append(layer_cls(ca_block_cfg=self.ca_block_cfg,
+                                    ffn_cfg=ffn_cfg, name=f"block_{i}"))
         return blocks
 
     def scale_func(self, timestep):
@@ -183,9 +193,8 @@ class STMoGenTransformer(DiffusionTransformerBase):
         B, T = h.shape[:2]
         T_out = T * self.patch_size
         for block in self.temporal_decoder_blocks:
-            h = block(h, xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
-                      motion_length=motion_length, num_intervals=num_intervals,
-                      train=train)
+            h = block(h, xf_out, emb, src_mask, cond_type, motion_length,
+                      num_intervals, train)
         return self.out(h).reshape(B, T_out, -1)
 
     def forward_test(self, h=None, src_mask=None, emb=None, xf_out=None,
@@ -200,8 +209,7 @@ class STMoGenTransformer(DiffusionTransformerBase):
         mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
         ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
         for block in self.temporal_decoder_blocks:
-            h2 = block(h2, xf=xf2, emb=emb2, src_mask=mask2, cond_type=all_cond,
-                       motion_length=ml2, num_intervals=num_intervals, train=False)
+            h2 = block(h2, xf2, emb2, mask2, all_cond, ml2, num_intervals, False)
         out = self.out(h2).reshape(2 * B, T_out, -1)
         text_coef, none_coef = self.scale_func(timesteps[0])
         return out[:B] * text_coef + out[B:] * none_coef
