@@ -354,8 +354,13 @@ class Beat2LmdbDataset:
         """Sample -> Beat2WindowDataset-style window dict."""
         s = self[idx]
         pose = s["pose"].reshape(len(s["pose"]), -1)
+        audio = s["audio"]
+        if audio.ndim == 1:
+            # cache built with a raw-wave audio_rep: recompute the 2-channel
+            # onset+amplitude features WavEncoder expects (control_cond_feats=2)
+            audio = onset_amplitude(np.asarray(audio, np.float32))
         win = {"pose": pose[:, :165], "facial": s["facial"], "trans": s["trans"],
-               "audio": s["audio"] if s["audio"].ndim == 2 else s["audio"][:, None],
+               "audio": audio,
                "name": f"lmdb_{idx:05d}", "start": 0, "beta": s["beta"]}
         words: List[str] = []
         if self.vocab is not None:

@@ -130,7 +130,11 @@ class SFFN(nn.Module):
             # fused block-diagonal kernel: hidden stays in VMEM instead of a
             # [B, T, H, f] HBM round trip (see ops/pallas_sffn.py)
             from ..ops.pallas_sffn import head_ffn
-            y = head_ffn(x.reshape(B * T, D), w1, b1, w2, b2).reshape(B, T, D)
+            # forced-on via MOTIONCRAFT_PALLAS_SFFN=1 off-TPU -> interpreter
+            # (Mosaic can't lower on CPU; tests exercise the kernel this way)
+            y = head_ffn(x.reshape(B * T, D), w1, b1, w2, b2,
+                         interpret=jax.default_backend() != "tpu"
+                         ).reshape(B, T, D)
         else:
             y = jnp.einsum("bthd,hdf->bthf", xh, w1) + b1
             y = nn.Dropout(self.dropout)(nn.gelu(y, approximate=False),

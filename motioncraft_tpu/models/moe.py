@@ -233,7 +233,8 @@ class MoELayer(nn.Module):
                                      side="right"),
                     0, E - 1).astype(jnp.int32)
                 ye = grouped_ffn(block_expert, xs, w1,
-                                 b1.astype(jnp.float32), w2)
+                                 b1.astype(jnp.float32), w2,
+                                 interpret=jax.default_backend() != "tpu")
             else:
                 # pad rows (when drops occur) go to the last group
                 group_sizes = fill.at[E - 1].add(M - fill.sum())

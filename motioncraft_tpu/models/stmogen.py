@@ -124,8 +124,9 @@ class STMoGenDecoderLayer(nn.Module):
     """ca_block (STMA) + SFFN (reference stmogen.py:610-623).
 
     The call signature is positional (num_intervals/train last) so
-    ``nn.remat(..., static_argnums=(6, 7))`` can mark the python-valued args
-    static when activation rematerialization is enabled."""
+    ``nn.remat(..., static_argnums=(7, 8))`` — positions count ``self`` at 0
+    — can mark the python-valued args static when activation
+    rematerialization is enabled."""
 
     ca_block_cfg: Optional[dict] = None
     ffn_cfg: Optional[dict] = None

@@ -95,6 +95,14 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
     controlnet.py:427-439), base-only STMoGen ckpts, and MCM ckpts —
     dispatched on the config's submodule type.  ``checkpoint`` is our own
     .npz param dump."""
+    def _ffn_heads(cfg: dict) -> int:
+        # build_temporal_blocks also accepts a per-layer list of ffn_cfgs;
+        # the reference's head count is uniform across layers, so take [0]
+        ffn = cfg.get("ffn_cfg", {})
+        if isinstance(ffn, (list, tuple)):
+            ffn = ffn[0] if ffn else {}
+        return ffn.get("num_heads", 1)
+
     if torch_checkpoint:
         from .torch_convert import (load_controlnet_ckpt, load_mcm_ckpt,
                                     load_stmogen_ckpt)
@@ -105,7 +113,7 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
             te = bm.get("text_encoder", {})
             return load_controlnet_ckpt(
                 torch_checkpoint, variables, bm["num_layers"],
-                bm.get("ffn_cfg", {}).get("num_heads", 1),
+                _ffn_heads(bm),
                 sub.get("copy_blocks_num", 2), te.get("num_layers", 2),
                 te.get("clip_layers", 12),
                 block_type="mcm" if "MCM" in t else "stmogen")
@@ -115,8 +123,7 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
                                  sub["num_layers"], te.get("num_layers", 4),
                                  te.get("clip_layers", 12))
         return load_stmogen_ckpt(
-            torch_checkpoint, variables, sub["num_layers"],
-            sub.get("ffn_cfg", {}).get("num_heads", 1),
+            torch_checkpoint, variables, sub["num_layers"], _ffn_heads(sub),
             te.get("num_layers", 2), te.get("clip_layers", 12))
     if checkpoint:
         return load_params(checkpoint)
