@@ -51,8 +51,15 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
 
 
 def multi_host_test(arch, variables, data_loader, *, total_size: Optional[int] = None,
-                    **kwargs) -> List[Dict[str, Any]]:
-    """Per-host sampling + cross-host result gather (multi_gpu_test +
-    collect_results equivalent)."""
-    local = single_device_test(arch, variables, data_loader, **kwargs)
+                    seed: int = 0, **kwargs) -> List[Dict[str, Any]]:
+    """Per-host sampling over this host's interleaved dataset slice
+    (data_loader must be built with ``dist=True``) + ordered cross-host
+    result gather (multi_gpu_test + collect_results, apis/test.py:28-163).
+    Each sample is evaluated exactly once; the merged list is in dataset
+    order, truncated to ``total_size`` (default: the full dataset)."""
+    import jax
+    if total_size is None:
+        total_size = len(data_loader.dataset)
+    local = single_device_test(arch, variables, data_loader,
+                               seed=seed + jax.process_index(), **kwargs)
     return collect_results(local, total_size)

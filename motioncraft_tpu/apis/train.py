@@ -26,6 +26,43 @@ def set_random_seed(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def device_prefetch(batch_iter, mesh, depth: int = 2):
+    """Overlap host collate + ``device_put`` with device compute: a feeder
+    thread filters each batch to its numeric arrays and shards it onto the
+    mesh, keeping up to ``depth`` device-resident batches queued while the
+    train step runs.  TPU equivalent of the reference's worker-process
+    loader + CUDA-stream prefetcher (datasets/builder.py:92-102)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    errors = []
+
+    def feeder():
+        try:
+            for batch in batch_iter:
+                batch = {k: v for k, v in batch.items()
+                         if hasattr(v, "dtype")
+                         and np.issubdtype(np.asarray(v).dtype, np.number)}
+                q.put(shard_batch(batch, mesh))
+        except BaseException as e:  # surfaced on the consumer side
+            errors.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            t.join()
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 def make_train_step(arch, fp16: Optional[dict] = None) -> Callable:
     """Pure (state, batch, rng) -> (state, logs) step for jit/pjit.
 
@@ -128,13 +165,8 @@ def train_model(arch,
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
-            for batch in dataloader:
+            for batch in device_prefetch(iter(dataloader), mesh):
                 rng, step_rng = jax.random.split(rng)
-                # keep only numeric arrays (metas/strings stay on host)
-                batch = {k: v for k, v in batch.items()
-                         if hasattr(v, "dtype") and np.issubdtype(np.asarray(v).dtype,
-                                                                  np.number)}
-                batch = shard_batch(batch, mesh)
                 state, logs = step_fn(state, batch, step_rng)
                 # loss-second-moment sampler sync (gaussian_diffusion.py:76-115)
                 if (hasattr(arch, "sampler")

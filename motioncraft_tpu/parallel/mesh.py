@@ -101,11 +101,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Place a host batch dict onto the mesh, batch-sharded over 'data'."""
+    """Place a host batch dict onto the mesh, batch-sharded over 'data'.
+
+    Single-process: a plain sharded device_put.  Multi-process: each host
+    holds only its interleaved loader slice (build_dataloader(dist=True)), so
+    the global array is assembled from process-local shards."""
     sh = batch_sharding(mesh)
-    return {k: (jax.device_put(v, sh) if hasattr(v, "shape") and getattr(v, "ndim", 0) > 0
-                else v)
-            for k, v in batch.items()}
+    multiproc = jax.process_count() > 1
+
+    def put(v):
+        if not (hasattr(v, "shape") and getattr(v, "ndim", 0) > 0):
+            return v
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(v))
+        return jax.device_put(v, sh)
+
+    return {k: put(v) for k, v in batch.items()}
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

@@ -36,14 +36,41 @@ def mean_across_hosts(tree):
     return jax.tree_util.tree_map(lambda a: np.mean(np.asarray(a), axis=0), gathered)
 
 
-def collect_results(local_results: List[Any], total_size: int = None) -> List[Any]:
-    """Gather per-host result lists into the full ordered list
-    (apis/test.py:85-163 equivalent).  Single-process: identity."""
-    if jax.process_count() == 1:
-        return local_results if total_size is None else local_results[:total_size]
-    from jax.experimental import multihost_utils
-    all_lists = multihost_utils.process_allgather(local_results, tiled=False)
+_MISSING = object()
+
+
+def interleave_parts(part_list: List[List[Any]],
+                     total_size: int = None) -> List[Any]:
+    """zip-merge per-rank result lists back into sampler order and drop the
+    round-up padding — the reference's ordered reassembly
+    (apis/test.py:120-128: ``for res in zip(*part_list): extend``), extended
+    with zip_longest so unequal part lengths (round_up=False) still merge."""
+    import itertools
     merged: List[Any] = []
-    for part in all_lists:
-        merged.extend(part)
+    for tup in itertools.zip_longest(*part_list, fillvalue=_MISSING):
+        merged.extend(r for r in tup if r is not _MISSING)
     return merged if total_size is None else merged[:total_size]
+
+
+def collect_results(local_results: List[Any], total_size: int = None) -> List[Any]:
+    """Gather per-host result lists into the full ordered list.
+
+    Each rank evaluated the interleaved slice ``indices[rank::world]``
+    (RoundUpSampler), so the ordered full list is the zip-interleave of the
+    per-rank parts truncated to ``total_size`` — the reference's
+    collect_results_gpu scheme (apis/test.py:133-163): pickle the part,
+    all-gather length-padded byte tensors, unpickle, zip-merge."""
+    world = jax.process_count()
+    if world == 1:
+        return local_results if total_size is None else local_results[:total_size]
+    import pickle
+    from jax.experimental import multihost_utils
+    buf = np.frombuffer(pickle.dumps(local_results), np.uint8)
+    sizes = multihost_utils.process_allgather(np.array([buf.size], np.int64))
+    sizes = np.asarray(sizes).reshape(world)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: buf.size] = buf
+    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    part_list = [pickle.loads(stacked[r, : int(sizes[r])].tobytes())
+                 for r in range(world)]
+    return interleave_parts(part_list, total_size)

@@ -1,0 +1,154 @@
+"""Multi-host evaluation correctness: per-rank interleaved dataset slices
+(reference samplers/distributed_sampler.py:5-42), ordered result reassembly
+(reference apis/test.py:120-163), and the async prefetch loader — including a
+real two-process ``jax.distributed`` run on CPU."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from motioncraft_tpu.data.loader import DataLoader, RoundUpSampler, build_dataloader
+from motioncraft_tpu.utils.dist_utils import interleave_parts
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class RangeDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"motion": np.full((4, 3), i, np.float32),
+                "motion_length": i,
+                "motion_metas": {"idx": i}}
+
+
+class TestRankSharding:
+    def test_every_index_exactly_once(self):
+        # 10 samples over 4 ranks, round_up -> 12 slots; the 2 pad slots
+        # repeat the head of the stream, every real index appears >= once
+        parts = [RoundUpSampler(10, shuffle=False, round_up=True,
+                                num_replicas=4, rank=r).indices()
+                 for r in range(4)]
+        assert all(len(p) == 3 for p in parts)
+        merged = interleave_parts([list(p) for p in parts], total_size=10)
+        assert merged == list(range(10))
+
+    def test_shuffled_partition_is_disjoint_and_complete(self):
+        parts = [RoundUpSampler(16, shuffle=True, round_up=True,
+                                num_replicas=4, rank=r, seed=3).indices()
+                 for r in range(4)]
+        flat = np.concatenate(parts)
+        assert sorted(flat.tolist()) == list(range(16))
+
+    def test_rank_slices_interleave(self):
+        # rank r must hold indices [r::world] of the common stream
+        world = 3
+        full = RoundUpSampler(9, shuffle=True, round_up=True,
+                              num_replicas=1, seed=7)
+        stream = RoundUpSampler(9, shuffle=True, round_up=True,
+                                num_replicas=world, rank=0, seed=7)
+        assert stream.indices().tolist() == full.indices().tolist()[0::world]
+
+    def test_round_up_cycles_short_datasets(self):
+        # dataset smaller than world: round_up cycles the permutation
+        # (reference: indices * k), not just the head
+        p = [RoundUpSampler(2, shuffle=False, round_up=True,
+                            num_replicas=5, rank=r).indices()
+             for r in range(5)]
+        assert sorted(np.concatenate(p).tolist()) == [0, 0, 0, 1, 1]
+        merged = interleave_parts([list(x) for x in p], total_size=2)
+        assert merged == [0, 1]
+
+    def test_interleave_parts_unequal(self):
+        assert interleave_parts([[0, 3], [1], [2]]) == [0, 1, 2, 3]
+
+    def test_loader_len_per_rank(self):
+        ds = RangeDataset(10)
+        ld = build_dataloader(ds, samples_per_gpu=3, dist=True,
+                              num_replicas=4, rank=1, shuffle=False)
+        ld.drop_last = False
+        assert len(ld) == 1  # ceil(ceil(10/4)=3 / 3)
+        batches = list(ld)
+        assert len(batches) == 1
+        assert batches[0]["motion"].shape[0] == 3
+
+
+class TestAsyncLoader:
+    def test_prefetch_matches_sync(self):
+        ds = RangeDataset(23)
+        sync = DataLoader(ds, 4, shuffle=True, drop_last=False, seed=5)
+        async_ = DataLoader(ds, 4, shuffle=True, drop_last=False, seed=5,
+                            num_workers=3, prefetch=2)
+        for a, b in zip(list(sync), list(async_)):
+            np.testing.assert_array_equal(a["motion"], b["motion"])
+            assert a["motion_length"].tolist() == b["motion_length"].tolist()
+
+    def test_prefetch_short_epoch(self):
+        # fewer batches than the prefetch depth
+        ds = RangeDataset(3)
+        ld = DataLoader(ds, 2, shuffle=False, drop_last=False,
+                        num_workers=2, prefetch=8)
+        batches = list(ld)
+        assert [b["motion"].shape[0] for b in batches] == [2, 1]
+
+
+_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=int(sys.argv[1]))
+import numpy as np
+from motioncraft_tpu.data.loader import build_dataloader
+from motioncraft_tpu.utils.dist_utils import collect_results
+
+class DS:
+    def __len__(self):
+        return 11
+    def __getitem__(self, i):
+        return {"motion": np.full((2, 3), i, np.float32),
+                "motion_length": i, "motion_metas": {"idx": i}}
+
+ds = DS()
+loader = build_dataloader(ds, samples_per_gpu=2, dist=True, shuffle=False,
+                          round_up=True)
+loader.drop_last = False
+local = []
+for batch in loader:
+    for m in batch["motion_metas"]:
+        local.append({"idx": m["idx"]})
+merged = collect_results(local, total_size=len(ds))
+if jax.process_index() == 0:
+    got = [r["idx"] for r in merged]
+    assert got == list(range(11)), got
+    print("DIST_EVAL_OK", got, flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_collect_results(tmp_path):
+    """Real 2-process jax.distributed CPU run: each sample evaluated exactly
+    once, merged list in dataset order."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("%PORT%", str(port)))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, str(script), str(r)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              env=env, text=True)
+             for r in range(2)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert "DIST_EVAL_OK" in outs[0], outs

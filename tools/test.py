@@ -68,8 +68,12 @@ def main():
 
     dataset = DATASETS.build(cfg.data["test"])
     bs = args.batch_size or cfg.data["samples_per_gpu"]
+    dist = jax.process_count() > 1
+    # multi-host: interleaved per-rank slice + round_up (equal batch counts
+    # keep the hosts' jit dispatch in lockstep); merged back in order below
     loader = build_dataloader(dataset, samples_per_gpu=bs, shuffle=False,
-                              round_up=False)
+                              round_up=dist, dist=dist,
+                              workers_per_gpu=cfg.data.get("workers_per_gpu", 0))
     loader.drop_last = False
 
     variables = None
@@ -83,11 +87,18 @@ def main():
             cfg.model, variables, checkpoint=args.checkpoint,
             torch_checkpoint=args.torch_checkpoint)
 
-    from motioncraft_tpu.apis.test import single_device_test
+    from motioncraft_tpu.apis.test import multi_host_test, single_device_test
     t0 = time.time()
-    results = single_device_test(arch, variables, loader, seed=args.seed,
-                                 limit=args.limit,
-                                 logger=lambda m: print("  " + m, flush=True))
+    if dist:
+        results = multi_host_test(arch, variables, loader, seed=args.seed,
+                                  limit=args.limit,
+                                  logger=lambda m: print("  " + m, flush=True))
+        if jax.process_index() != 0:
+            return
+    else:
+        results = single_device_test(arch, variables, loader, seed=args.seed,
+                                     limit=args.limit,
+                                     logger=lambda m: print("  " + m, flush=True))
     print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
     metrics = dataset.evaluate(results[:args.limit] if args.limit else results,
                                args.work_dir)

@@ -68,10 +68,12 @@ def main():
 
     arch = build_architecture(cfg.model)
     dataset = build_train_dataset(cfg.data)
-    loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
-                              shuffle=True, seed=args.seed)
     if args.multihost:
         init_distributed()
+    # multihost: each process loads its interleaved 1/process_count slice
+    loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
+                              shuffle=True, seed=args.seed, dist=args.multihost,
+                              workers_per_gpu=cfg.data.get("workers_per_gpu", 2))
     mesh = create_mesh(args.devices, dcn_axis=args.multihost)
     logger.info(f"mesh: {dict(mesh.shape)}; dataset: {len(dataset)} samples, "
                 f"{len(loader)} steps/epoch")
