@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..models.blocks import LayerNorm
+
 from ..models.text_encoder import PostLNEncoderLayer
 from ..registry import SUBMODULES
 
@@ -95,7 +97,7 @@ class DistilBertModule(nn.Module):
         tok = nn.Embed(self.vocab_size, self.dim, name="word_embeddings")(input_ids)
         pos = nn.Embed(self.max_position, self.dim, name="position_embeddings")(
             jnp.arange(T)[None].repeat(B, axis=0))
-        x = nn.LayerNorm(name="emb_ln")(tok + pos)
+        x = LayerNorm(name="emb_ln")(tok + pos)
         for i in range(self.n_layers):
             x = PostLNEncoderLayer(self.dim, self.n_heads, self.hidden_dim, 0.0,
                                    "gelu", name=f"layer_{i}")(
@@ -276,7 +278,7 @@ class BiGRUCoModule(nn.Module):
                          initial_carry=jnp.broadcast_to(h0[1], (B, self.hidden_size)))
         h = jnp.concatenate([carry_f, carry_b], axis=-1)
         h = nn.Dense(self.hidden_size, name="out1")(h)
-        h = nn.leaky_relu(nn.LayerNorm(name="out_ln")(h), 0.2)
+        h = nn.leaky_relu(LayerNorm(name="out_ln")(h), 0.2)
         return nn.Dense(self.output_size, name="out2")(h)
 
 

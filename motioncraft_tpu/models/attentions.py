@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .blocks import LayerNorm
+
 from ..ops.linear_attention import linear_attention_core
 from ..ops.pallas_attention import linear_attention
 from ..registry import ATTENTIONS
@@ -91,7 +93,7 @@ class EfficientSelfAttention(nn.Module):
     def __call__(self, x, src_mask=None, emb=None, train: bool = False, **kwargs):
         B, T, D = x.shape
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
         q_logits = nn.Dense(D, name="query")(xn)
         k_logits = nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
         v = nn.Dense(D, name="value")(xn) * src_mask
@@ -126,8 +128,8 @@ class EfficientCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
-        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(tn)
         if cond_type is None:
@@ -156,8 +158,8 @@ class EfficientMixedAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1] + T
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
-        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         tc = _text_cond_mask(cond_type, B)
         sm = src_mask.reshape(B, T, 1)
         key = jnp.concatenate([
@@ -191,7 +193,7 @@ class BaseSelfAttention(nn.Module):
     def __call__(self, x, emb=None, src_mask=None, train: bool = False, **kwargs):
         B, T, D = x.shape
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(xn).reshape(B, T, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
@@ -217,8 +219,8 @@ class BaseCrossAttention(nn.Module):
         B, T, D = x.shape
         N = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
-        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = nn.Dense(D, name="key")(tn).reshape(B, N, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
@@ -248,8 +250,8 @@ class BaseMixedAttention(nn.Module):
         B, T, D = x.shape
         Nt = xf.shape[1]
         H = self.num_heads
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
-        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         tc = _text_cond_mask(cond_type, B)
         query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
         key = jnp.concatenate([
@@ -323,11 +325,11 @@ class STMA(nn.Module):
                                   self.text_latent_dim * 4, 2 * L, self.num_text_heads,
                                   self.max_text_seq_len, self.gate_type, self.gate_noise,
                                   expert_axis=self.expert_axis, name="text_moe")(
-            nn.LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
+            LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
         motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 4 * L, H,
                                       self.max_seq_len, self.gate_type, self.gate_noise,
                                       expert_axis=self.expert_axis, name="motion_moe")(
-            nn.LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
+            LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
 
         body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
         body_value = motion_feat[:, :, :, :L]
@@ -422,11 +424,11 @@ class SAMI(nn.Module):
                                   self.text_latent_dim * 4, 2 * L, self.num_text_heads,
                                   self.max_text_seq_len, self.gate_type, self.gate_noise,
                                   expert_axis=self.expert_axis, name="text_moe")(
-            nn.LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
+            LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
         motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 3 * L, H,
                                       self.max_seq_len, self.gate_type, self.gate_noise,
                                       expert_axis=self.expert_axis, name="motion_moe")(
-            nn.LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
+            LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
 
         body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
         body_feat = jnp.einsum("hl,bnld->bnhd", jax.nn.softmax(body_weight, axis=1),
@@ -520,8 +522,8 @@ class SemanticsModulatedAttention(nn.Module):
         R, Tr = re_motion.shape[1], re_motion.shape[2]
         N = xf.shape[1] + T + R * Tr
 
-        xn = nn.LayerNorm(name="norm")(x).astype(x.dtype)
-        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
+        xn = LayerNorm(name="norm")(x).astype(x.dtype)
+        tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         text_cond = ((cond_type % 10) > 0).astype(x.dtype)
         retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
 
@@ -530,7 +532,7 @@ class SemanticsModulatedAttention(nn.Module):
         ).reshape(B, R * Tr, 2 * D)
         key = jnp.concatenate([
             nn.Dense(D, name="key_text")(tn) + (1 - text_cond) * NEG_INF,
-            nn.Dense(D, name="key_retr")(nn.LayerNorm(name="retr_norm1")(re_feat_key).astype(re_feat_key.dtype))
+            nn.Dense(D, name="key_retr")(LayerNorm(name="retr_norm1")(re_feat_key).astype(re_feat_key.dtype))
             + (1 - retr_cond) * NEG_INF + (1 - re_mask) * NEG_INF,
             nn.Dense(D, name="key_motion")(xn) + (1 - src_mask) * NEG_INF,
         ], axis=1)
@@ -541,7 +543,7 @@ class SemanticsModulatedAttention(nn.Module):
         from .blocks import ZeroDense
         value = jnp.concatenate([
             nn.Dense(D, name="value_text")(tn) * text_cond,
-            ZeroDense(D, name="value_retr")(nn.LayerNorm(name="retr_norm2")(re_feat_value).astype(re_feat_value.dtype))
+            ZeroDense(D, name="value_retr")(LayerNorm(name="retr_norm2")(re_feat_value).astype(re_feat_value.dtype))
             * retr_cond * re_mask,
             nn.Dense(D, name="value_motion")(xn) * src_mask,
         ], axis=1).reshape(B, N, H, -1)
@@ -574,8 +576,8 @@ class DualSemanticsModulatedAttention(nn.Module):
         R, Tr = re_motion.shape[1], re_motion.shape[2]
         N = xf.shape[1] + 2 * T + R * Tr
 
-        norm = nn.LayerNorm(name="norm")
-        tn = nn.LayerNorm(name="text_norm")(xf).astype(xf.dtype)
+        norm = LayerNorm(name="norm")
+        tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         text_cond = ((cond_type % 10) > 0).astype(x.dtype)
         retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
 
@@ -589,8 +591,8 @@ class DualSemanticsModulatedAttention(nn.Module):
         k_retr = nn.Dense(D, name="key_retr")
         from .blocks import ZeroDense
         v_retr = ZeroDense(D, name="value_retr")
-        retr_n1 = nn.LayerNorm(name="retr_norm1")
-        retr_n2 = nn.LayerNorm(name="retr_norm2")
+        retr_n1 = LayerNorm(name="retr_norm1")
+        retr_n2 = LayerNorm(name="retr_norm2")
         proj_out = StylizationBlock(D, self.time_embed_dim, self.dropout, name="proj_out")
 
         n1, n2 = norm(x1), norm(x2)

@@ -40,6 +40,12 @@ def _use_pallas_sffn(train: bool, n_rows: int, d: int, f: int) -> bool:
         return False
     return _ENV_SFFN == "1" or jax.default_backend() == "tpu"
 
+# torch-parity LayerNorm: the reference is torch nn.LayerNorm (eps=1e-5);
+# flax's default 1e-6 is a small systematic numeric difference that
+# checkpoint-conversion parity tests can see.  All model LNs use this.
+import functools as _functools
+LayerNorm = _functools.partial(nn.LayerNorm, epsilon=1e-5)
+
 zeros_init = nn.initializers.zeros
 normal_init = nn.initializers.normal(stddev=1.0)
 
@@ -78,7 +84,7 @@ class StylizationBlock(nn.Module):
         # emb: [B, time_embed_dim] -> [B, 1, 2*latent]
         emb_out = nn.Dense(2 * self.latent_dim, name="emb_layers")(nn.silu(emb))[:, None, :]
         scale, shift = jnp.split(emb_out, 2, axis=-1)
-        h = nn.LayerNorm(name="norm")(h).astype(h.dtype) * (1 + scale) + shift
+        h = LayerNorm(name="norm")(h).astype(h.dtype) * (1 + scale) + shift
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = ZeroDense(self.latent_dim, name="out_layers")(h)
@@ -162,7 +168,7 @@ class PatchEmbed1D(nn.Module):
         x = nn.Conv(self.embed_dim, kernel_size=(self.patch_size,),
                     strides=(self.patch_size,), padding="VALID", name="proj")(x)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x).astype(x.dtype)
+            x = LayerNorm(name="norm")(x).astype(x.dtype)
         return x
 
 

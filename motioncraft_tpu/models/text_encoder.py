@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import LayerNorm
+
 
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
@@ -50,8 +52,8 @@ class ClipBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         x = x + ClipAttention(self.width, self.heads, name="attn")(
-            nn.LayerNorm(name="ln_1")(x), mask)
-        h = nn.Dense(self.width * 4, name="mlp_fc")(nn.LayerNorm(name="ln_2")(x))
+            LayerNorm(name="ln_1")(x), mask)
+        h = nn.Dense(self.width * 4, name="mlp_fc")(LayerNorm(name="ln_2")(x))
         x = x + nn.Dense(self.width, name="mlp_proj")(quick_gelu(h))
         return x
 
@@ -77,7 +79,7 @@ class ClipTextModel(nn.Module):
         causal = jnp.triu(jnp.full((T, T), -jnp.inf), k=1)[None, None]
         for i in range(self.layers):
             x = ClipBlock(self.width, self.heads, name=f"resblock_{i}")(x, causal)
-        x = nn.LayerNorm(name="ln_final")(x)  # [B, 77, width]
+        x = LayerNorm(name="ln_final")(x)  # [B, 77, width]
         if return_pooled:
             # CLIP encode_text: features at the EOT token (= argmax token id)
             # projected by text_projection
@@ -101,14 +103,14 @@ class PostLNEncoderLayer(nn.Module):
     def __call__(self, x, train: bool = False, key_mask=None):
         y = ClipAttention(self.d_model, self.nhead, name="self_attn")(x, key_mask=key_mask)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
-        x = nn.LayerNorm(name="norm1")(x + y)
+        x = LayerNorm(name="norm1")(x + y)
         act = ((lambda v: nn.gelu(v, approximate=False))
                if self.activation == "gelu" else nn.relu)
         h = nn.Dense(self.dim_feedforward, name="linear1")(x)
         h = nn.Dropout(self.dropout)(act(h), deterministic=not train)
         h = nn.Dense(self.d_model, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
-        return nn.LayerNorm(name="norm2")(x + h)
+        return LayerNorm(name="norm2")(x + h)
 
 
 class TextEncoder(nn.Module):
@@ -144,7 +146,7 @@ class TextEncoder(nn.Module):
             x = PostLNEncoderLayer(self.latent_dim, self.num_heads, self.ff_size,
                                    self.dropout, self.activation,
                                    name=f"textTransEncoder_{i}")(x, train=train)
-        xf_out = nn.LayerNorm(name="text_ln")(x)
+        xf_out = LayerNorm(name="text_ln")(x)
         if self.use_text_proj:
             eot_idx = jnp.argmax(text_ids, axis=-1)
             pooled = xf_out[jnp.arange(xf_out.shape[0]), eot_idx]

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .blocks import LayerNorm
+
 from ..registry import ARCHITECTURES, SUBMODULES, build_loss, build_submodule
 from .text_encoder import ClipAttention, PostLNEncoderLayer
 
@@ -156,18 +158,18 @@ class ACTORDecoder(nn.Module):
             # decoder layer: self-attn over queries + cross-attn to the latent
             sa = ClipAttention(self.latent_dim, self.num_heads,
                                name=f"sa_{i}")(x, key_mask=motion_mask.astype(bool))
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + sa)
+            x = LayerNorm(name=f"norm1_{i}")(x + sa)
             q = nn.Dense(self.latent_dim, name=f"ca_q_{i}")(x)
             kv = nn.Dense(2 * self.latent_dim, name=f"ca_kv_{i}")(memory)
             k, v = jnp.split(kv, 2, axis=-1)
             attn = jax.nn.softmax(
                 jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(self.latent_dim), axis=-1)
             ca = jnp.einsum("bqk,bkd->bqd", attn, v)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + ca)
+            x = LayerNorm(name=f"norm2_{i}")(x + ca)
             h = nn.Dense(self.ff_size, name=f"ffn1_{i}")(x)
             h = nn.Dense(self.latent_dim, name=f"ffn2_{i}")(
                 nn.gelu(h, approximate=False))
-            x = nn.LayerNorm(name=f"norm3_{i}")(x + h)
+            x = LayerNorm(name=f"norm3_{i}")(x + h)
         return nn.Dense(self.input_feats, name="final")(x)
 
 
@@ -266,7 +268,7 @@ class InterMotionEncoderModule(nn.Module):
             emb = PostLNEncoderLayer(self.latent_dim, self.num_heads, self.ff_size,
                                      self.dropout, "gelu", name=f"layer_{i}")(
                 emb, train=train, key_mask=mask)
-        h = nn.LayerNorm(name="out_ln")(emb)
+        h = LayerNorm(name="out_ln")(emb)
         return nn.Dense(512, name="out")(h[:, 0])
 
 
@@ -288,7 +290,7 @@ class InterTextEncoderModule(nn.Module):
         for i in range(self.num_layers):
             x = PostLNEncoderLayer(self.clip_width, 8, self.ff_size, 0.1,
                                    "gelu", name=f"layer_{i}")(x, train=train)
-        x = nn.LayerNorm(name="text_ln")(x)
+        x = LayerNorm(name="text_ln")(x)
         eot = jnp.argmax(text_ids, axis=-1)
         return nn.Dense(512, name="out")(x[jnp.arange(x.shape[0]), eot])
 

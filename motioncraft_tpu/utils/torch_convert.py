@@ -270,9 +270,14 @@ def t_moe(sd, prefix, num_heads_unused=None):
     """Reference MOE wrapper + tutel moe_layer -> our MOE/MoELayer tree.
 
     tutel parameter names: gates.0.{cosine_projector.{weight,bias}, sim_matrix,
-    temperature} (CosineTopKGate) or gates.0.wg.weight (LinearTopKGate);
-    experts.batched_fc1_w [E, D, F], batched_fc2_w [E, F, D],
-    batched_fc1_bias / batched_fc2_bias (possibly [E, 1, *])."""
+    temperature} (CosineTopKGate) or gates.0.wg.weight (LinearTopKGate).
+    tutel's FusedExpertsNetwork (tutel/experts/ffn.py) stores
+    batched_fc1_w as [E, F, D] in nn.Linear [out, in] convention (forward
+    multiplies by its permute(0, 2, 1)) while batched_fc2_w is [E, F, D_out]
+    used directly; biases are [E, 1, *].  Our flax layout is expert_w1
+    [E, D, F] (x @ w1) and expert_w2 [E, F, D] (h @ w2), so fc1 transposes
+    and fc2 passes through.  The hidden dim F is read from fc1_bias so the
+    mapping stays correct even for checkpoints where D == F."""
     g = lambda n: _k(prefix, n)
     out = {"embedding": sd[g("embedding")],
            "proj": t_linear(sd, g("proj"))}
@@ -285,9 +290,15 @@ def t_moe(sd, prefix, num_heads_unused=None):
         gate = {"wg": {"kernel": sd[f"{gate_prefix}.wg.weight"].T}}
     b1 = sd[g("model.experts.batched_fc1_bias")]
     b2 = sd[g("model.experts.batched_fc2_bias")]
+    w1 = sd[g("model.experts.batched_fc1_w")]
+    hidden = b1.reshape(b1.shape[0], -1).shape[1]
+    if w1.shape[1] == hidden and w1.shape[2] != hidden:
+        w1 = w1.transpose(0, 2, 1)  # tutel [E, F, D] -> flax [E, D, F]
+    elif w1.shape[1] == w1.shape[2]:
+        w1 = w1.transpose(0, 2, 1)  # ambiguous square: tutel convention
     out["model"] = {
         "gate": gate,
-        "expert_w1": sd[g("model.experts.batched_fc1_w")],
+        "expert_w1": w1,
         "expert_b1": b1.reshape(b1.shape[0], -1),
         "expert_w2": sd[g("model.experts.batched_fc2_w")],
         "expert_b2": b2.reshape(b2.shape[0], -1),

@@ -21,6 +21,11 @@ try:
 except Exception:  # older jax without these flags: run uncached
     pass
 
+# This XLA:CPU build defaults f32 matmuls to a bf16-grade 3-pass (measured
+# ~2e-3 relative error); force true f32 accumulation so golden/parity tests
+# compare real numbers, not rounding artifacts.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture
 def rng():

@@ -55,3 +55,24 @@ def test_variant_overrides_apply():
                                        "m2d_finedance_0125b.py"))
     assert cfg.data["test"]["type"] == "FinedanceMotionDataset"
     assert cfg.model["model"]["condition_encode_cfg"]["condition_pre_encode"] is False
+
+
+def test_every_reference_config_has_counterpart():
+    """Every config file the reference ships (configs/**/*.py) must have a
+    same-named counterpart here; stmogen variants are name-mapped (our tree
+    uses short names, covered by the >=11 count test above)."""
+    ref = "/root/reference/configs"
+    if not os.path.isdir(ref):
+        pytest.skip("reference not present")
+    ours = {os.path.basename(p) for p in CONFIGS}
+    missing = []
+    for fam in ("mdm", "mcm", "motiondiffuse", "finemogen"):
+        for p in glob.glob(os.path.join(ref, fam, "*.py")):
+            name = os.path.basename(p)
+            if name == "mcm_t2m_smplx.py":
+                name_ok = {"mcm_t2m_smplx.py", "mcm_t2m.py"}
+            else:
+                name_ok = {name}
+            if not (name_ok & ours):
+                missing.append(f"{fam}/{name}")
+    assert not missing, missing

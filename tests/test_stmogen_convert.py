@@ -39,8 +39,10 @@ def fabricate_torch_sd(params, num_layers, num_heads, text_layers, clip_layers):
         sd[f"{name}.model.gates.0.sim_matrix"] = rng.randn(
             *m["gate"]["sim_matrix"].shape).astype(np.float32)
         sd[f"{name}.model.gates.0.temperature"] = np.ones(1, np.float32)
+        # tutel stores fc1 as [E, F, D] (nn.Linear convention)
         sd[f"{name}.model.experts.batched_fc1_w"] = rng.randn(
-            *m["expert_w1"].shape).astype(np.float32)
+            m["expert_w1"].shape[0], m["expert_w1"].shape[2],
+            m["expert_w1"].shape[1]).astype(np.float32)
         sd[f"{name}.model.experts.batched_fc1_bias"] = rng.randn(
             m["expert_b1"].shape[0], 1, m["expert_b1"].shape[1]).astype(np.float32)
         sd[f"{name}.model.experts.batched_fc2_w"] = rng.randn(
