@@ -384,9 +384,24 @@ class STMA(nn.Module):
         return y
 
 
+class _IntervalFFN(nn.Module):
+    """fine_attention get_ffn (Linear -> GELU -> Linear).  A named nn.Module
+    (NOT nn.Sequential: submodules constructed as Sequential ctor args get
+    auto-named Dense_N in the PARENT scope, which scrambles checkpoint
+    conversion); exact erf GELU as torch nn.GELU()."""
+
+    ffn_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.ffn_dim, name="layers_0")(x)
+        return nn.Dense(self.out_dim, name="layers_2")(
+            nn.gelu(h, approximate=False))
+
+
 def _interval_ffn(name, latent_dim, ffn_dim, out_dim=None):
-    return nn.Sequential([nn.Dense(ffn_dim), nn.gelu, nn.Dense(out_dim or latent_dim)],
-                         name=name)
+    return _IntervalFFN(ffn_dim, out_dim or latent_dim, name=name)
 
 
 @ATTENTIONS.register_module()

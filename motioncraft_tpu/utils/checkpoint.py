@@ -104,8 +104,9 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
         return ffn.get("num_heads", 1)
 
     if torch_checkpoint:
-        from .torch_convert import (load_controlnet_ckpt, load_mcm_ckpt,
-                                    load_stmogen_ckpt)
+        from .torch_convert import (load_controlnet_ckpt, load_finemogen_ckpt,
+                                    load_mcm_ckpt, load_mdm_ckpt,
+                                    load_motiondiffuse_ckpt, load_stmogen_ckpt)
         sub = model_cfg["model"]
         t = sub["type"]
         if t in ("ControlT2MHalf", "ControlT2MHalfMCM"):
@@ -122,6 +123,18 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
             return load_mcm_ckpt(torch_checkpoint, variables,
                                  sub["num_layers"], te.get("num_layers", 4),
                                  te.get("clip_layers", 12))
+        if t == "MDMTransformer":
+            return load_mdm_ckpt(torch_checkpoint, variables,
+                                 sub.get("num_layers", 8),
+                                 sub.get("clip_layers", 12))
+        if t == "MotionDiffuseTransformer":
+            return load_motiondiffuse_ckpt(
+                torch_checkpoint, variables, sub["num_layers"],
+                te.get("num_layers", 4), te.get("clip_layers", 12))
+        if t == "FineMoGenTransformer":
+            return load_finemogen_ckpt(
+                torch_checkpoint, variables, sub["num_layers"], _ffn_heads(sub),
+                te.get("num_layers", 2), te.get("clip_layers", 12))
         return load_stmogen_ckpt(
             torch_checkpoint, variables, sub["num_layers"], _ffn_heads(sub),
             te.get("num_layers", 2), te.get("clip_layers", 12))

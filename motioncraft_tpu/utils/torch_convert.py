@@ -627,3 +627,163 @@ def load_controlnet_ckpt(path: str, variables, num_layers: int, num_heads: int,
                                    text_num_layers, clip_layers)
         _tree_update(variables["params"]["base_model"], base)
     return variables
+
+
+# ----------------------------------------------- MotionDiffuse / FineMoGen
+def convert_motiondiffuse(sd: Dict[str, np.ndarray], num_layers: int,
+                          text_num_layers: int = 4,
+                          clip_layers: int = 12) -> dict:
+    """MotionDiffuseTransformer checkpoint (motion_diffuse.py /
+    diffusion_transformer.py base layout: Efficient self+cross attention
+    blocks + FFN) -> flax param tree."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    out: dict = {
+        "time_embed": {"layers_0": t_linear(sd, "time_embed.0"),
+                       "layers_2": t_linear(sd, "time_embed.2")},
+        "joint_embed": t_linear(sd, "joint_embed"),
+        "out": {"linear": t_linear(sd, "out")},
+        "text_enc": _convert_text_enc(sd, text_num_layers, clip_layers),
+    }
+    if "sequence_embedding" in sd:
+        out["sequence_embedding"] = sd["sequence_embedding"]
+    for i in range(num_layers):
+        p = f"temporal_decoder_blocks.{i}"
+        blk = {}
+        if f"{p}.sa_block.norm.weight" in sd:
+            blk["sa_block"] = t_eff_attention(sd, f"{p}.sa_block")
+        if f"{p}.ca_block.norm.weight" in sd:
+            blk["ca_block"] = t_eff_attention(sd, f"{p}.ca_block")
+        if f"{p}.ffn.linear1.weight" in sd:
+            blk["ffn"] = t_ffn(sd, f"{p}.ffn")
+        out[f"block_{i}"] = blk
+    return out
+
+
+def load_motiondiffuse_ckpt(path: str, variables, num_layers: int,
+                            text_num_layers: int = 4, clip_layers: int = 12):
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    tree = convert_motiondiffuse(sd, num_layers, text_num_layers, clip_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables
+
+
+def t_interval_ffn(sd, prefix):
+    """fine_attention get_ffn Sequential(Linear, GELU, Linear) -> flax
+    nn.Sequential names layers_0 / layers_2."""
+    return {"layers_0": t_linear(sd, _k(prefix, "0")),
+            "layers_2": t_linear(sd, _k(prefix, "2"))}
+
+
+def t_sami(sd, prefix):
+    """SAMI attention params (fine_attention.py:62-202).  The reference's
+    ``key_motion`` parameter is declared but unused in its forward; skipped."""
+    g = lambda n: _k(prefix, n)
+    return {
+        "norm": t_layernorm(sd, g("norm")),
+        "text_norm": t_layernorm(sd, g("text_norm")),
+        "text_moe": t_moe(sd, g("text_moe")),
+        "motion_moe": t_moe(sd, g("motion_moe")),
+        "body_weight": sd[g("body_weight")],
+        "sigma": sd[g("sigma")].reshape(1),
+        "t_sigma": sd[g("t_sigma")].reshape(1),
+        "template_s": t_interval_ffn(sd, g("template_s")),
+        "template_v": t_interval_ffn(sd, g("template_v")),
+        "template_a": t_interval_ffn(sd, g("template_a")),
+        "template_j": t_interval_ffn(sd, g("template_j")),
+        "template_t": t_interval_ffn(sd, g("template_t")),
+        "proj_out": t_stylization(sd, g("proj_out")),
+    }
+
+
+def convert_finemogen(sd: Dict[str, np.ndarray], num_layers: int,
+                      num_heads: int, text_num_layers: int = 2,
+                      clip_layers: int = 12) -> dict:
+    """FineMoGenTransformer checkpoint (finemogen.py: PoseEncoder/Decoder +
+    SAMI/SFFN stack, same skeleton as STMoGen) -> flax param tree."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    out: dict = {
+        "sequence_embedding": sd["sequence_embedding"],
+        "time_embed": {"layers_0": t_linear(sd, "time_embed.0"),
+                       "layers_2": t_linear(sd, "time_embed.2")},
+        "joint_embed": t_pose_io(sd, "joint_embed", "embed"),
+        "out": t_pose_io(sd, "out", "out"),
+        "text_enc": _convert_text_enc(sd, text_num_layers, clip_layers),
+    }
+    for i in range(num_layers):
+        p = f"temporal_decoder_blocks.{i}"
+        out[f"block_{i}"] = {
+            "ca_block": t_sami(sd, f"{p}.ca_block"),
+            "ffn": t_sffn(sd, f"{p}.ffn", num_heads),
+        }
+    return out
+
+
+def load_finemogen_ckpt(path: str, variables, num_layers: int, num_heads: int,
+                        text_num_layers: int = 2, clip_layers: int = 12):
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    tree = convert_finemogen(sd, num_layers, num_heads, text_num_layers,
+                             clip_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables
+
+
+# ----------------------------------------------------------------- MDM
+def convert_mdm(sd: Dict[str, np.ndarray], num_layers: int,
+                clip_layers: int = 12) -> dict:
+    """MDMTransformer checkpoint -> flax param tree.
+
+    Accepts BOTH naming schemes: the reference mogen MDMTransformer
+    (mdm.py:35-110: poseEmbedding / seqTransEncoder.layers.N /
+    embed_timestep.time_embed / embed_text / poseFinal, optional clip.*) and
+    the OFFICIAL released MDM checkpoint (model000475000.pt:
+    input_process.poseEmbedding / output_process.poseFinal, clip under
+    clip_model.* — frozen CLIP is usually stripped from the file, in which
+    case the flax CLIP keeps its separately-converted weights)."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    alias = {}
+    for k, v in sd.items():
+        if k.startswith("input_process."):
+            alias[k[len("input_process."):]] = v
+        elif k.startswith("output_process."):
+            alias[k[len("output_process."):]] = v
+        elif k.startswith("clip_model."):
+            alias["clip." + k[len("clip_model."):]] = v
+        else:
+            alias[k] = v
+    sd = alias
+    out: dict = {
+        "poseEmbedding": t_linear(sd, "poseEmbedding"),
+        "poseFinal": t_linear(sd, "poseFinal"),
+        "embed_text": t_linear(sd, "embed_text"),
+        "time_embed": {"layers_0": t_linear(sd, "embed_timestep.time_embed.0"),
+                       "layers_2": t_linear(sd, "embed_timestep.time_embed.2")},
+    }
+    for i in range(num_layers):
+        out[f"layer_{i}"] = t_postln_layer(sd, f"seqTransEncoder.layers.{i}")
+    if "clip.token_embedding.weight" in sd:
+        clip_sd = {k[len("clip."):]: v for k, v in sd.items()
+                   if k.startswith("clip.")}
+        out["clip"] = convert_clip_text(clip_sd, clip_layers)
+        if "text_projection" in clip_sd:
+            out["clip"]["text_projection"] = clip_sd["text_projection"]
+    return out
+
+
+def load_mdm_ckpt(path: str, variables, num_layers: int,
+                  clip_layers: int = 12):
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    tree = convert_mdm(sd, num_layers, clip_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables

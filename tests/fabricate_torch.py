@@ -202,3 +202,118 @@ def mcm_sd(params, rng, num_layers, text_layers, clip_layers, prefix=""):
     if prefix:
         sd = {prefix + k: v for k, v in sd.items()}
     return sd
+
+
+def interval_ffn(sd, name, tree, rng):
+    lin(sd, f"{name}.0", tree["layers_0"], rng)
+    lin(sd, f"{name}.2", tree["layers_2"], rng)
+
+
+def sami(sd, name, tree, rng):
+    ln(sd, f"{name}.norm", tree["norm"], rng)
+    ln(sd, f"{name}.text_norm", tree["text_norm"], rng)
+    moe(sd, f"{name}.text_moe", tree["text_moe"], rng)
+    moe(sd, f"{name}.motion_moe", tree["motion_moe"], rng)
+    sd[f"{name}.body_weight"] = rng.randn(*tree["body_weight"].shape).astype(np.float32)
+    sd[f"{name}.sigma"] = np.full(1, 100.0, np.float32)
+    sd[f"{name}.t_sigma"] = np.ones(1, np.float32)
+    # the reference declares key_motion but never uses it; present in ckpts
+    sd[f"{name}.key_motion"] = rng.randn(4, 4).astype(np.float32)
+    for t in ("template_s", "template_v", "template_a", "template_j",
+              "template_t"):
+        interval_ffn(sd, f"{name}.{t}", tree[t], rng)
+    styl(sd, f"{name}.proj_out", tree["proj_out"], rng)
+
+
+def motiondiffuse_sd(params, rng, num_layers, text_layers, clip_layers,
+                     prefix=""):
+    sd = {}
+    if "sequence_embedding" in params:
+        sd["sequence_embedding"] = rng.randn(
+            *params["sequence_embedding"].shape).astype(np.float32)
+    lin(sd, "time_embed.0", params["time_embed"]["layers_0"], rng)
+    lin(sd, "time_embed.2", params["time_embed"]["layers_2"], rng)
+    lin(sd, "joint_embed", params["joint_embed"], rng)
+    lin(sd, "out", params["out"]["linear"], rng)
+    text_enc(sd, params["text_enc"], rng, text_layers, clip_layers)
+    for i in range(num_layers):
+        blk = params[f"block_{i}"]
+        p = f"temporal_decoder_blocks.{i}"
+        if "sa_block" in blk:
+            eff_attention(sd, f"{p}.sa_block", blk["sa_block"], rng)
+        if "ca_block" in blk:
+            eff_attention(sd, f"{p}.ca_block", blk["ca_block"], rng)
+        if "ffn" in blk:
+            ffn(sd, f"{p}.ffn", blk["ffn"], rng)
+    if prefix:
+        sd = {prefix + k: v for k, v in sd.items()}
+    return sd
+
+
+def finemogen_sd(params, rng, num_layers, num_heads, text_layers, clip_layers,
+                 prefix=""):
+    sd = {}
+    sd["sequence_embedding"] = rng.randn(
+        *params["sequence_embedding"].shape).astype(np.float32)
+    lin(sd, "time_embed.0", params["time_embed"]["layers_0"], rng)
+    lin(sd, "time_embed.2", params["time_embed"]["layers_2"], rng)
+    for part, tree in params["joint_embed"].items():
+        lin(sd, f"joint_embed.{part}", tree, rng)
+    for part, tree in params["out"].items():
+        lin(sd, f"out.{part}", tree, rng)
+    text_enc(sd, params["text_enc"], rng, text_layers, clip_layers)
+    for i in range(num_layers):
+        blk = params[f"block_{i}"]
+        p = f"temporal_decoder_blocks.{i}"
+        sami(sd, f"{p}.ca_block", blk["ca_block"], rng)
+        sffn(sd, f"{p}.ffn", blk["ffn"], rng, num_heads)
+    if prefix:
+        sd = {prefix + k: v for k, v in sd.items()}
+    return sd
+
+
+def mdm_sd(params, rng, num_layers, clip_layers, official=False):
+    """MDM checkpoint in the mogen naming, or the OFFICIAL released layout
+    (input_process./output_process. prefixes, no clip weights)."""
+    sd = {}
+    pe = "input_process.poseEmbedding" if official else "poseEmbedding"
+    pf = "output_process.poseFinal" if official else "poseFinal"
+    lin(sd, pe, params["poseEmbedding"], rng)
+    lin(sd, pf, params["poseFinal"], rng)
+    lin(sd, "embed_text", params["embed_text"], rng)
+    lin(sd, "embed_timestep.time_embed.0", params["time_embed"]["layers_0"], rng)
+    lin(sd, "embed_timestep.time_embed.2", params["time_embed"]["layers_2"], rng)
+    for i in range(num_layers):
+        lt = params[f"layer_{i}"]
+        p = f"seqTransEncoder.layers.{i}"
+        sd[f"{p}.self_attn.in_proj_weight"] = rng.randn(
+            *lt["self_attn"]["in_proj"]["kernel"].shape[::-1]).astype(np.float32)
+        sd[f"{p}.self_attn.in_proj_bias"] = rng.randn(
+            *lt["self_attn"]["in_proj"]["bias"].shape).astype(np.float32)
+        lin(sd, f"{p}.self_attn.out_proj", lt["self_attn"]["out_proj"], rng)
+        lin(sd, f"{p}.linear1", lt["linear1"], rng)
+        lin(sd, f"{p}.linear2", lt["linear2"], rng)
+        ln(sd, f"{p}.norm1", lt["norm1"], rng)
+        ln(sd, f"{p}.norm2", lt["norm2"], rng)
+    if not official:
+        clip = params["clip"]
+        sd["clip.token_embedding.weight"] = rng.randn(
+            *clip["token_embedding"]["embedding"].shape).astype(np.float32)
+        sd["clip.positional_embedding"] = rng.randn(
+            *clip["positional_embedding"].shape).astype(np.float32)
+        sd["clip.text_projection"] = rng.randn(
+            *clip["text_projection"].shape).astype(np.float32)
+        ln(sd, "clip.ln_final", clip["ln_final"], rng)
+        for i in range(clip_layers):
+            blk = clip[f"resblock_{i}"]
+            p = f"clip.transformer.resblocks.{i}"
+            sd[f"{p}.attn.in_proj_weight"] = rng.randn(
+                *blk["attn"]["in_proj"]["kernel"].shape[::-1]).astype(np.float32)
+            sd[f"{p}.attn.in_proj_bias"] = rng.randn(
+                *blk["attn"]["in_proj"]["bias"].shape).astype(np.float32)
+            lin(sd, f"{p}.attn.out_proj", blk["attn"]["out_proj"], rng)
+            ln(sd, f"{p}.ln_1", blk["ln_1"], rng)
+            ln(sd, f"{p}.ln_2", blk["ln_2"], rng)
+            lin(sd, f"{p}.mlp.c_fc", blk["mlp_fc"], rng)
+            lin(sd, f"{p}.mlp.c_proj", blk["mlp_proj"], rng)
+    return sd
