@@ -102,13 +102,49 @@ def main():
         "value": round(motions_per_min, 2),
         "unit": "motions/min",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+        "batch": B,
+        # measured sweep on 16 GB v5e-1: 564/min @ B=64 but 464/min @ B=128
+        # (HBM pressure) — the per-batch sweet spot is narrow; see FIDELITY.md
+        "batch_note": "B=64 is the 16GB-v5e sweet spot; B=128 regresses on HBM",
     }
+    mfu = compute_mfu(sample_jit, variables, batch, dt / iters)
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
     if not args.no_s2g and not args.quick:
         try:
             result["s2g_windows_per_min"] = round(bench_s2g_windows(), 2)
         except Exception as e:  # secondary metric must never kill the bench
             print(f"bench: s2g secondary metric failed: {e}", file=sys.stderr)
     print(json.dumps(result))
+
+
+def compute_mfu(sample_jit, variables, batch, sec_per_call):
+    """Model FLOPs Utilization: XLA's own flop count for the full compiled
+    DDIM-50 CFG sampling executable / measured wall time / chip peak.
+    Tracks 'is this fast in absolute terms' run-over-run, not just
+    motions/min.  Returns None when the chip's peak is unknown (CPU)."""
+    import re as _re
+    kind = jax.devices()[0].device_kind.lower()
+    peaks_bf16 = {  # dense bf16 peak FLOP/s per chip (public TPU specs)
+        "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+        "v4": 275e12, "v5p": 459e12, "v5": 459e12,
+        "v6 lite": 918e12, "v6e": 918e12, "v6": 918e12,
+    }
+    peak = next((v for k, v in peaks_bf16.items() if k in kind), None)
+    if peak is None:
+        return None
+    try:
+        cost = (sample_jit.lower(variables, batch, jax.random.PRNGKey(0))
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception as e:
+        print(f"bench: cost_analysis unavailable ({e})", file=sys.stderr)
+        return None
+    if flops <= 0:
+        return None
+    return flops / sec_per_call / (peak * max(1, len(jax.devices())))
 
 
 def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30):

@@ -27,6 +27,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bench_feed(batch_size: int, T: int, workers: int, n_batches: int = 40):
+    """Host input-pipeline throughput (samples/s): dataset read -> collate
+    -> tokenize -> device_put, sync vs prefetch-threaded loader.  This is the
+    feed side the in-jit train-step slope excludes; it must exceed the step
+    rate (e.g. ~1.5k samples/s for a v5e-8 at B=32/chip) or the loader is the
+    bottleneck."""
+    from motioncraft_tpu.data.loader import DataLoader
+    from motioncraft_tpu.parallel import create_mesh, shard_batch
+
+    rng = np.random.RandomState(0)
+    # pre-generated pool: real datasets read cached npz rows, they don't
+    # synthesize 250 KB of randn per sample (that would dominate the measure)
+    pool = [rng.randn(T, 322).astype(np.float32) for _ in range(256)]
+    mask = np.ones((T,), np.float32)
+
+    class SynthDataset:
+        def __len__(self):
+            return batch_size * n_batches
+
+        def __getitem__(self, i):
+            return {"motion": pool[i % len(pool)],
+                    "motion_mask": mask,
+                    "motion_length": T,
+                    "motion_metas": {"text": f"a person does action {i}"}}
+
+    mesh = create_mesh()
+    for nw in sorted({0, workers}):
+        loader = DataLoader(SynthDataset(), batch_size, shuffle=False,
+                            num_workers=nw)
+        n = 0
+        t0 = time.time()
+        for b in loader:
+            b = {k: v for k, v in b.items()
+                 if hasattr(v, "dtype") and np.issubdtype(np.asarray(v).dtype,
+                                                          np.number)}
+            out = shard_batch(b, mesh)
+            n += batch_size
+        jax.block_until_ready(out["motion"])
+        dt = time.time() - t0
+        print(f"feed B={batch_size} T={T} workers={nw}: "
+              f"{n / dt:.1f} samples/s ({dt / (n / batch_size) * 1e3:.1f} ms/batch)",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
@@ -34,7 +78,14 @@ def main():
     ap.add_argument("--fp16", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize decoder blocks (jax.checkpoint)")
+    ap.add_argument("--feed", action="store_true",
+                    help="measure host input-pipeline samples/s and exit")
+    ap.add_argument("--workers", type=int, default=4)
     args = ap.parse_args()
+
+    if args.feed:
+        bench_feed(args.batch, args.t, args.workers)
+        return
 
     from motioncraft_tpu.apis import build_flagship, flagship_t2m_cfg, make_text_batch
     from motioncraft_tpu.apis.train import make_train_step
