@@ -94,9 +94,13 @@ class MoELayer(nn.Module):
     capacity_factor: float = 1.5
     batch_prioritized: bool = True
     expert_axis: Optional[str] = None  # mesh axis name for expert sharding
-    # inference dispatch: 'ragged' (rank-compact lax.ragged_dot), 'slots'
-    # (padded [E, capacity] buffers), or 'auto' (ragged on TPU; the
-    # MOTIONCRAFT_MOE_RAGGED env var, read once at import, can force it)
+    # inference dispatch: 'ragged' (rank-compact lax.ragged_dot), 'ragged_fused'
+    # (+ the Pallas grouped-FFN kernel), 'slots' (padded [E, capacity]
+    # buffers), or 'auto' (ragged on TPU).  CONFIG IS THE SOURCE OF TRUTH:
+    # set dispatch_mode explicitly in model configs to pin a path; the
+    # MOTIONCRAFT_MOE_RAGGED / MOTIONCRAFT_MOE_FUSED env vars (read once at
+    # import) act only as operator overrides of the 'auto' heuristics, e.g.
+    # to disable a kernel on a runtime whose Mosaic AOT service stalls.
     dispatch_mode: str = "auto"
 
     def _use_ragged(self, train: bool) -> bool:
