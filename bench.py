@@ -107,7 +107,7 @@ def main():
         # (HBM pressure) — the per-batch sweet spot is narrow; see FIDELITY.md
         "batch_note": "B=64 is the 16GB-v5e sweet spot; B=128 regresses on HBM",
     }
-    mfu = compute_mfu(sample_jit, variables, batch, dt / iters)
+    mfu = compute_mfu(arch, variables, batch, compute_dtype, dt / iters)
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
     if not args.no_s2g and not args.quick:
@@ -118,12 +118,12 @@ def main():
     print(json.dumps(result))
 
 
-def compute_mfu(sample_jit, variables, batch, sec_per_call):
-    """Model FLOPs Utilization: XLA's own flop count for the full compiled
-    DDIM-50 CFG sampling executable / measured wall time / chip peak.
-    Tracks 'is this fast in absolute terms' run-over-run, not just
-    motions/min.  Returns None when the chip's peak is unknown (CPU)."""
-    import re as _re
+def compute_mfu(arch, variables, batch, compute_dtype, sec_per_call):
+    """Model FLOPs Utilization: XLA's flop count for ONE compiled CFG
+    denoiser forward x the DDIM step count / measured wall time / chip peak.
+    (Cost analysis of the whole sampling executable undercounts: XLA reports
+    the scan BODY's flops once, not x trip-count.)  Tracks 'is this fast in
+    absolute terms' run-over-run.  Returns None off-TPU."""
     kind = jax.devices()[0].device_kind.lower()
     peaks_bf16 = {  # dense bf16 peak FLOP/s per chip (public TPU specs)
         "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
@@ -134,11 +134,23 @@ def compute_mfu(sample_jit, variables, batch, sec_per_call):
     if peak is None:
         return None
     try:
-        cost = (sample_jit.lower(variables, batch, jax.random.PRNGKey(0))
-                .compile().cost_analysis())
+        steps = int(arch.diffusion_test.num_timesteps)
+        B, T, D = batch["motion"].shape
+        cast = (lambda a: a.astype(compute_dtype)
+                if compute_dtype is not None else a)
+        xf = arch.encode_text(variables, batch["text_ids"])
+
+        def fwd(v, m, t, mask, ml, x):
+            return arch.model.apply(v, m, t, motion_mask=mask,
+                                    motion_length=ml, xf_out=x, mode="test")
+
+        args = (variables, cast(jnp.zeros((B, T, D), jnp.float32)),
+                jnp.full((B,), 500, jnp.int32), cast(batch["motion_mask"]),
+                batch["motion_length"], cast(xf))
+        cost = jax.jit(fwd).lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = float(cost.get("flops", 0.0)) * steps
     except Exception as e:
         print(f"bench: cost_analysis unavailable ({e})", file=sys.stderr)
         return None

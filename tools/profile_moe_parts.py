@@ -107,6 +107,45 @@ def main():
         return c + y.astype(jnp.float32).mean()
 
     meas("combine new (gated gathers)", combine_new)
+
+    # --- realistic eval-time ranks: k-major arrival order makes rank rows
+    # MONOTONE within each expert segment (piecewise-sequential gathers);
+    # random ranks above are the worst case
+    flat_idx = np.asarray(topk_idx).T.reshape(-1)
+    counts = np.bincount(flat_idx, minlength=E)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.zeros(M, np.int64)
+    seen = np.zeros(E, np.int64)
+    for i, e in enumerate(flat_idx):
+        pos[i] = seen[e]
+        seen[e] += 1
+    real_ranks = jnp.asarray((offs[flat_idx] + pos).reshape(K, N).T, jnp.int32)
+
+    def combine_real(c):
+        y = (gates[:, 0, None] * pert(ye_flat, c)[real_ranks[:, 0]]
+             + gates[:, 1, None] * pert(ye_flat, c)[real_ranks[:, 1]])
+        return c + y.astype(jnp.float32).mean()
+
+    meas("combine gathers (real ranks)", combine_real)
+
+    def combine_real_nkd(c):
+        y = jnp.einsum("nk,nkd->nd", gates, pert(ye_flat, c)[real_ranks])
+        return c + y.astype(jnp.float32).mean()
+
+    meas("combine nkd (real ranks)", combine_real_nkd)
+
+    # inverse formulation: scatter expert-sorted rows back to token order
+    # (one [M] scatter-add of gated rows instead of two [N] gathers);
+    # duplicate token ids across k forbid unique_indices here
+    tok_flat = jnp.asarray(np.argsort(offs[flat_idx] + pos, kind="stable"),
+                           jnp.int32)  # placeholder token order per rank row
+
+    def combine_scatter(c):
+        rows = pert(ye_flat, c)[:M] * gate_rows
+        y = jnp.zeros((N, D), jnp.bfloat16).at[token_for_rank].add(rows)
+        return c + y.astype(jnp.float32).mean()
+
+    meas("combine scatter-add [M->N]", combine_scatter)
     from motioncraft_tpu.ops.pallas_moe import moe_positions
     meas("positions cumsum", lambda c: c + moe_positions(
         (topk_idx.T.reshape(-1) + c.astype(jnp.int32)) % E, E).astype(
