@@ -296,17 +296,18 @@ def mdm_sd(params, rng, num_layers, clip_layers, official=False):
         ln(sd, f"{p}.norm1", lt["norm1"], rng)
         ln(sd, f"{p}.norm2", lt["norm2"], rng)
     if not official:
+        # mogen's MDMTransformer names its CLIP attribute clip_model
         clip = params["clip"]
-        sd["clip.token_embedding.weight"] = rng.randn(
+        sd["clip_model.token_embedding.weight"] = rng.randn(
             *clip["token_embedding"]["embedding"].shape).astype(np.float32)
-        sd["clip.positional_embedding"] = rng.randn(
+        sd["clip_model.positional_embedding"] = rng.randn(
             *clip["positional_embedding"].shape).astype(np.float32)
-        sd["clip.text_projection"] = rng.randn(
+        sd["clip_model.text_projection"] = rng.randn(
             *clip["text_projection"].shape).astype(np.float32)
-        ln(sd, "clip.ln_final", clip["ln_final"], rng)
+        ln(sd, "clip_model.ln_final", clip["ln_final"], rng)
         for i in range(clip_layers):
             blk = clip[f"resblock_{i}"]
-            p = f"clip.transformer.resblocks.{i}"
+            p = f"clip_model.transformer.resblocks.{i}"
             sd[f"{p}.attn.in_proj_weight"] = rng.randn(
                 *blk["attn"]["in_proj"]["kernel"].shape[::-1]).astype(np.float32)
             sd[f"{p}.attn.in_proj_bias"] = rng.randn(
