@@ -69,12 +69,14 @@ def create_mesh(n_devices: Optional[int] = None,
         n_proc = jax.process_count()
         per_proc = len(jax.devices()) // n_proc
         expert = 2 if per_proc % 2 == 0 and per_proc >= 2 else 1
+        # the dcn axis groups by PROCESS unless the platform reports exactly
+        # one distinct slice per process (true multi-slice TPU); CPU-simulated
+        # meshes and single-slice pods both fall back to process granules
+        slices = {getattr(d, "slice_index", None) for d in jax.devices()}
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(1, per_proc // expert, expert),
             dcn_mesh_shape=(n_proc, 1, 1),
-            # group by process when devices don't expose slice_index
-            # (CPU-simulated meshes; on TPU pods slices are processes anyway)
-            process_is_granule=not hasattr(jax.devices()[0], "slice_index"))
+            process_is_granule=len(slices) != n_proc or None in slices)
         return Mesh(dev_array, (DCN_AXIS,) + tuple(axes[:2]))
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)

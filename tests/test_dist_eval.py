@@ -133,6 +133,107 @@ if jax.process_index() == 0:
 """
 
 
+_TRAIN_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="localhost:%PORT%",
+                           num_processes=2, process_id=int(sys.argv[1]))
+import numpy as np
+import jax.numpy as jnp
+from motioncraft_tpu.apis.factory import build_flagship, make_text_batch, tiny_t2m_cfg
+from motioncraft_tpu.apis.train import make_train_step
+from motioncraft_tpu.parallel import (batch_sharding, create_mesh,
+                                      create_train_state, replicated, shard_batch)
+
+jax.config.update("jax_default_matmul_precision", "highest")
+arch = build_flagship(tiny_t2m_cfg())
+GLOBAL_B = 4
+rank = jax.process_index()
+full = make_text_batch([f"sample {i}" for i in range(GLOBAL_B)], max_seq_len=16)
+# interleaved per-rank slice, as build_dataloader(dist=True) would hand out
+local = {k: (v[rank::2] if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0
+             else v)
+         for k, v in full.items() if hasattr(v, "dtype")}
+mesh = create_mesh(dcn_axis=True)  # (dcn=2, data=1, expert=1)
+with jax.set_mesh(mesh):
+    variables = arch.init(jax.random.PRNGKey(0), full)
+    state = create_train_state(variables["params"], {"type": "Adam", "lr": 2e-4})
+    step = jax.jit(make_train_step(arch),
+                   in_shardings=(replicated(mesh), batch_sharding(mesh),
+                                 replicated(mesh)),
+                   out_shardings=(replicated(mesh), replicated(mesh)))
+    sharded = shard_batch(local, mesh)
+    # global batch order under (dcn, data) sharding = [rank0 slice, rank1
+    # slice] = interleave-inverse; the loss is order-invariant (mean)
+    state, logs = step(state, sharded, jax.random.PRNGKey(1))
+    loss = float(logs["loss"])
+print(f"RANK{rank}_LOSS {loss:.10f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_train_step_parity(tmp_path):
+    """Real 2-process jax.distributed CPU training step over the hybrid
+    (dcn, data, expert) mesh: each process feeds its interleaved batch slice
+    via make_array_from_process_local_data; the globally-reduced loss must be
+    identical on both ranks AND match a single-process run of the same
+    global batch at f32 tolerance."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER.replace("%PORT%", str(port)))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, str(script), str(r)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              env=env, text=True)
+             for r in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    losses = {}
+    for out in outs:
+        for ln in out.splitlines():
+            if ln.startswith("RANK"):
+                rank, val = ln.split()
+                losses[rank] = float(val)
+    assert set(losses) == {"RANK0_LOSS", "RANK1_LOSS"}, outs
+    assert losses["RANK0_LOSS"] == losses["RANK1_LOSS"]
+
+    # single-process reference on the same global batch
+    import jax
+
+    from motioncraft_tpu.apis.factory import build_flagship, make_text_batch, \
+        tiny_t2m_cfg
+    from motioncraft_tpu.apis.train import make_train_step
+    from motioncraft_tpu.parallel import (batch_sharding, create_mesh,
+                                          create_train_state, replicated,
+                                          shard_batch)
+    arch = build_flagship(tiny_t2m_cfg())
+    full = make_text_batch([f"sample {i}" for i in range(4)], max_seq_len=16)
+    # global order under the 2-process dcn sharding: rank0's interleaved
+    # slice then rank1's
+    reordered = {k: (np.concatenate([v[0::2], v[1::2]])
+                     if hasattr(v, "ndim") and getattr(v, "ndim", 0) > 0 else v)
+                 for k, v in full.items() if hasattr(v, "dtype")}
+    mesh = create_mesh(1)
+    with jax.set_mesh(mesh):
+        variables = arch.init(jax.random.PRNGKey(0), full)
+        state = create_train_state(variables["params"],
+                                   {"type": "Adam", "lr": 2e-4})
+        step = jax.jit(make_train_step(arch),
+                       in_shardings=(replicated(mesh), batch_sharding(mesh),
+                                     replicated(mesh)),
+                       out_shardings=(replicated(mesh), replicated(mesh)))
+        _, logs = step(state, shard_batch(reordered, mesh),
+                       jax.random.PRNGKey(1))
+        ref_loss = float(logs["loss"])
+    assert abs(losses["RANK0_LOSS"] - ref_loss) < 1e-5 * max(1.0, abs(ref_loss)), (
+        losses, ref_loss)
+
+
 @pytest.mark.slow
 def test_two_process_collect_results(tmp_path):
     """Real 2-process jax.distributed CPU run: each sample evaluated exactly
