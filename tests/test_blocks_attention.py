@@ -187,14 +187,17 @@ class TestAttention:
         mask = _mk_mask(B, T, 8)
         cond = jnp.ones((B, 1, 1))
         ml = jnp.full((B, 1), 8)
-        params = m.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, src_mask=mask,
-                        cond_type=cond, motion_length=ml)
-        out = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
-                      motion_length=ml)
+        import functools
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, xf=xf, emb=emb,
+                                 src_mask=mask, cond_type=cond, motion_length=ml)
+        out = jax.jit(m.apply)(params, x, xf=xf, emb=emb, src_mask=mask,
+                               cond_type=cond, motion_length=ml)
         assert out.shape == (B, T, D)
         # train mode sows aux loss
-        out, state = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
-                             motion_length=ml, train=True, mutable=["losses"])
+        out, state = jax.jit(functools.partial(m.apply, train=True,
+                                               mutable=["losses"]))(
+            params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
+            motion_length=ml)
         assert "aux_loss" in state["losses"]
 
     def test_sami_forward_intervals(self, rng):
@@ -208,11 +211,13 @@ class TestAttention:
         mask = _mk_mask(B, T, 10)
         cond = jnp.ones((B, 1, 1))
         ml = jnp.full((B, 1), 10)
-        params = m.init(jax.random.PRNGKey(0), x, xf=xf, emb=emb, src_mask=mask,
-                        cond_type=cond, motion_length=ml)
+        import functools
+        params = jax.jit(m.init)(jax.random.PRNGKey(0), x, xf=xf, emb=emb,
+                                 src_mask=mask, cond_type=cond, motion_length=ml)
         for ni in (1, 2):
-            out = m.apply(params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
-                          motion_length=ml, num_intervals=ni)
+            out = jax.jit(functools.partial(m.apply, num_intervals=ni))(
+                params, x, xf=xf, emb=emb, src_mask=mask, cond_type=cond,
+                motion_length=ml)
             assert out.shape == (B, T, D) and np.isfinite(np.asarray(out)).all()
 
 
