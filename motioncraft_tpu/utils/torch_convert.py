@@ -510,7 +510,10 @@ def _convert_text_enc(sd, text_num_layers, clip_layers):
     text = {"text_ln": t_layernorm(sd, "text_ln")}
     if "text_pre_proj.weight" in sd:
         text["text_pre_proj"] = t_linear(sd, "text_pre_proj")
-    if "text_proj.weight" in sd:
+    if "text_proj.0.weight" in sd:
+        # mogen wraps text_proj in nn.Sequential (diffusion_transformer.py:144)
+        text["text_proj"] = t_linear(sd, "text_proj.0")
+    elif "text_proj.weight" in sd:
         text["text_proj"] = t_linear(sd, "text_proj")
     for i in range(text_num_layers):
         text[f"textTransEncoder_{i}"] = t_postln_layer(

@@ -127,7 +127,8 @@ def text_enc(sd, tree, rng, text_layers, clip_layers):
     if "text_pre_proj" in tree:
         lin(sd, "text_pre_proj", tree["text_pre_proj"], rng)
     if "text_proj" in tree:
-        lin(sd, "text_proj", tree["text_proj"], rng)
+        # mogen's text_proj is nn.Sequential(nn.Linear) -> keys text_proj.0.*
+        lin(sd, "text_proj.0", tree["text_proj"], rng)
     for i in range(text_layers):
         lt = tree[f"textTransEncoder_{i}"]
         p = f"textTransEncoder.layers.{i}"
