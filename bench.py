@@ -115,6 +115,13 @@ def main():
             result["s2g_windows_per_min"] = round(bench_s2g_windows(), 2)
         except Exception as e:  # secondary metric must never kill the bench
             print(f"bench: s2g secondary metric failed: {e}", file=sys.stderr)
+        try:
+            # lockstep-batched recordings (windowed_sample_batch, R=8):
+            # window w of independent recordings shares one DDIM scan
+            result["s2g_windows_per_min_batched8"] = round(
+                bench_s2g_windows(recording_batch=8), 2)
+        except Exception as e:
+            print(f"bench: batched s2g metric failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
@@ -159,12 +166,16 @@ def compute_mfu(arch, variables, batch, compute_dtype, sec_per_call):
     return flops / sec_per_call / (peak * max(1, len(jax.devices())))
 
 
-def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30):
-    """Long-form S2G throughput: RePaint-outpainted 64-frame windows at B=1
-    over a synthetic recording (the reference protocol's hot loop,
-    tools/s2g_test.py:120-260).  Steady-state windows/min, one compile."""
+def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
+                      recording_batch=1):
+    """Long-form S2G throughput: RePaint-outpainted 64-frame windows over
+    synthetic recordings (the reference protocol's hot loop,
+    tools/s2g_test.py:120-260).  recording_batch=1 is the sequential
+    protocol; >1 runs independent recordings in lockstep through one DDIM
+    scan per window (windowed_sample_batch).  Steady-state windows/min."""
     from motioncraft_tpu.apis import flagship_s2g_cfg, make_text_batch
-    from motioncraft_tpu.apis.windowed import windowed_sample
+    from motioncraft_tpu.apis.windowed import (num_windows, windowed_sample,
+                                               windowed_sample_batch)
     from motioncraft_tpu.diffusion.sampling import RepaintConfig
     from motioncraft_tpu.registry import build_architecture
 
@@ -185,21 +196,30 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30):
         variables)
     repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
                             jump_n_sample=2)
-    kw = dict(make_window_batch=make_window_batch, total_frames=total_frames,
-              window=window, pre_frames=pre, use_repaint=True, repaint=repaint,
-              compute_dtype=jnp.bfloat16)
+    R = recording_batch
+    if R > 1:
+        def run(key):
+            windowed_sample_batch(
+                arch, variables, [make_window_batch] * R, [total_frames] * R,
+                window=window, pre_frames=pre, rng=key, use_repaint=True,
+                repaint=repaint, compute_dtype=jnp.bfloat16)
+    else:
+        def run(key):
+            windowed_sample(
+                arch, variables, make_window_batch, total_frames=total_frames,
+                window=window, pre_frames=pre, rng=key, use_repaint=True,
+                repaint=repaint, compute_dtype=jnp.bfloat16)
     t0 = time.time()
-    windowed_sample(arch, variables, rng=jax.random.PRNGKey(1), **kw)
-    print(f"bench: s2g compile+first recording {time.time() - t0:.1f}s",
+    run(jax.random.PRNGKey(1))
+    print(f"bench: s2g R={R} compile+first recording {time.time() - t0:.1f}s",
           file=sys.stderr)
     n_rec = 3
     t0 = time.time()
     for i in range(n_rec):
-        windowed_sample(arch, variables, rng=jax.random.PRNGKey(2 + i), **kw)
+        run(jax.random.PRNGKey(2 + i))
     dt = time.time() - t0
-    from motioncraft_tpu.apis.windowed import num_windows
-    n_win = num_windows(total_frames, window, pre) * n_rec
-    print(f"bench: s2g {n_win} windows in {dt:.1f}s", file=sys.stderr)
+    n_win = num_windows(total_frames, window, pre) * n_rec * R
+    print(f"bench: s2g R={R} {n_win} windows in {dt:.1f}s", file=sys.stderr)
     return n_win / dt * 60.0
 
 

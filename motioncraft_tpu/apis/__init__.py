@@ -4,4 +4,5 @@ from .factory import (build_flagship, flagship_s2g_cfg,
                       tiny_t2m_cfg)
 from .test import multi_host_test, single_device_test
 from .train import make_train_step, set_random_seed, train_model
-from .windowed import denormalize, num_windows, windowed_sample
+from .windowed import (denormalize, num_windows, windowed_sample,
+                       windowed_sample_batch)

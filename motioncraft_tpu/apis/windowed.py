@@ -140,3 +140,92 @@ def windowed_sample(
 def denormalize(motion: np.ndarray, mean: np.ndarray, std: np.ndarray,
                 eps: float = 1e-9) -> np.ndarray:
     return motion * (std + eps) + mean
+
+
+def windowed_sample_batch(
+    arch,
+    variables,
+    make_window_batches,  # list of per-recording make_window_batch callables
+    total_frames_list,
+    *,
+    window: int,
+    pre_frames: int,
+    rng: jax.Array,
+    use_repaint: bool = True,
+    repaint: Optional[RepaintConfig] = None,
+    feat_dim: int = 322,
+    compute_dtype=None,
+):
+    """Lockstep-batched long-form generation over R recordings.
+
+    The reference protocol (and ``windowed_sample``) generates window w+1
+    only after window w of the SAME recording — but windows of DIFFERENT
+    recordings are independent, so window w of all R recordings runs as one
+    [R, window, D] batch.  A TPU-first redesign of the S2G/M2D eval loop: at
+    R=8 the per-window DDIM scan amortizes over 8 recordings, recovering the
+    batch efficiency the per-recording protocol throws away.  Recordings
+    shorter than the longest keep sampling padded windows whose outputs are
+    discarded (bounded waste, grouping by length avoids most of it).
+
+    Returns a list of [total_frames_r, D] arrays, one per recording.
+    """
+    R = len(make_window_batches)
+    assert R == len(total_frames_list)
+    repaint = repaint or RepaintConfig(overlap_len=pre_frames)
+    rounds = [num_windows(tf, window, pre_frames) for tf in total_frames_list]
+    max_rounds = max(rounds)
+    stride = window - pre_frames
+    jits = _jitted_samplers(arch)
+
+    outs: list = [[] for _ in range(R)]
+    last_window = None
+    noisy_tail = None
+    for w in range(max_rounds):
+        start, end = w * stride, w * stride + window
+        parts = [mwb(start, end) for mwb in make_window_batches]
+        batch: Dict = {}
+        for key in parts[0]:
+            vals = [np.asarray(p[key]) for p in parts]
+            if not np.issubdtype(vals[0].dtype, np.number):
+                continue
+            # pad trailing-window condition slices to a common length
+            maxlen = max(v.shape[1] for v in vals) if vals[0].ndim > 1 else None
+            if maxlen is not None:
+                vals = [np.pad(v, [(0, 0), (0, maxlen - v.shape[1])]
+                               + [(0, 0)] * (v.ndim - 2)) for v in vals]
+            batch[key] = np.concatenate(vals, axis=0)
+        rng, sub = jax.random.split(rng)
+
+        if w == 0 or not use_repaint:
+            if w == 0:
+                result = jits["plain"](variables, batch, sub, compute_dtype)
+            else:
+                pre_seq = last_window[:, -pre_frames:, :]
+                result = jits["pre_seq"](variables, batch, sub, pre_seq,
+                                         compute_dtype)
+            sample = result[0] if isinstance(result, tuple) else result
+        else:
+            D = feat_dim
+            gt = jnp.zeros((R, window, D)).at[:, :pre_frames, :].set(
+                last_window[:, -pre_frames:, :])
+            mask = jnp.zeros((R, window, D), bool).at[:, :pre_frames, :].set(True)
+            prev_tail = (noisy_tail if noisy_tail is not None else
+                         jnp.zeros((arch.diffusion_test.num_timesteps, R,
+                                    repaint.overlap_len, D)))
+            result = jits["outpaint"](
+                variables, batch, sub, gt, mask, prev_tail,
+                noisy_tail is not None and repaint.same_overlap_noisy,
+                compute_dtype)
+            if isinstance(result, tuple):
+                sample, noisy_tail = result
+            else:
+                sample = result
+
+        last_window = sample
+        host = np.asarray(jax.device_get(sample))
+        for r in range(R):
+            if w >= rounds[r]:
+                continue
+            outs[r].append(host[r] if w == 0 else host[r][pre_frames:])
+    return [np.concatenate(o, axis=0)[:tf]
+            for o, tf in zip(outs, total_frames_list)]

@@ -214,3 +214,55 @@ class TestWindowed:
                               total_frames=40, window=T, pre_frames=4,
                               rng=jax.random.PRNGKey(6), use_repaint=False)
         assert out.shape == (40, D_IN) and np.isfinite(out).all()
+
+
+class TestWindowedBatch:
+    def test_batch_of_one_matches_single(self, ctrl_arch):
+        """windowed_sample_batch with R=1 is bit-identical to
+        windowed_sample (same rng, same jitted samplers)."""
+        from motioncraft_tpu.apis.windowed import (windowed_sample,
+                                                   windowed_sample_batch)
+        arch, variables, _ = ctrl_arch
+        spf = 16000 // 30
+        audio = np.random.RandomState(11).randn(40 * spf, 2).astype(np.float32)
+        fixed = make_batch(np.random.RandomState(0), with_audio=False)
+
+        def mwb(start, end):
+            b = dict(fixed)
+            b["motion"] = jnp.zeros((1, T, D_IN))
+            b["c"] = jnp.asarray(audio[start * spf:end * spf])[None]
+            return b
+
+        kw = dict(window=T, pre_frames=4, use_repaint=True,
+                  repaint=arch.repaint_cfg, feat_dim=D_IN)
+        single = windowed_sample(arch, variables, mwb, total_frames=40,
+                                 rng=jax.random.PRNGKey(9), **kw)
+        batched = windowed_sample_batch(arch, variables, [mwb], [40],
+                                        rng=jax.random.PRNGKey(9), **kw)
+        np.testing.assert_allclose(batched[0], single, atol=1e-5)
+
+    def test_mixed_length_recordings(self, ctrl_arch):
+        """R=2 lockstep with different recording lengths: each output has its
+        own length; the shorter recording's padded windows are discarded."""
+        from motioncraft_tpu.apis.windowed import windowed_sample_batch
+        arch, variables, _ = ctrl_arch
+        spf = 16000 // 30
+        rng_np = np.random.RandomState(13)
+        audios = [rng_np.randn(40 * spf, 2).astype(np.float32),
+                  rng_np.randn(28 * spf, 2).astype(np.float32)]
+        fixed = make_batch(np.random.RandomState(1), with_audio=False)
+
+        def make_mwb(a):
+            def mwb(start, end):
+                b = dict(fixed)
+                b["motion"] = jnp.zeros((1, T, D_IN))
+                b["c"] = jnp.asarray(a[start * spf:end * spf])[None]
+                return b
+            return mwb
+
+        outs = windowed_sample_batch(
+            arch, variables, [make_mwb(a) for a in audios], [40, 28],
+            window=T, pre_frames=4, rng=jax.random.PRNGKey(10),
+            use_repaint=True, repaint=arch.repaint_cfg, feat_dim=D_IN)
+        assert outs[0].shape == (40, D_IN) and np.isfinite(outs[0]).all()
+        assert outs[1].shape == (28, D_IN) and np.isfinite(outs[1]).all()

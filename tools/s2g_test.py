@@ -47,6 +47,10 @@ def parse_args():
                         "(params cast + compute_dtype; metrics math stays f32)")
     p.add_argument("--same_overlap_noisy", action="store_true")
     p.add_argument("--save-npz", action="store_true")
+    p.add_argument("--recording-batch", type=int, default=1,
+                   help="process this many recordings in lockstep through "
+                        "one DDIM scan per window (TPU batching; 1 = the "
+                        "reference's sequential protocol)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -131,18 +135,16 @@ def main():
         out[:, 66:156] = m322[:, 66:156]
         out[:, 309:312] = m322[:, 309:312]
         return out
-    variables = None
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.time()
 
-    for ri, rec in enumerate(recordings):
-        T = len(rec["pose"])
-        gt322 = beat2_pose_to_smplx322(rec["pose"], rec["facial"], rec["trans"])
+    def make_mwb(rec):
         audio = rec["audio"]
+        spans = rec["word_spans"]
 
         def caption(start, end):
             words = []
-            for (s, e, w) in rec["word_spans"]:
+            for (s, e, w) in spans:
                 if w and s < end / fps and e > start / fps and w not in words:
                     words.append(w)
             return ("A person is doing a speech, and the speech content is "
@@ -158,25 +160,49 @@ def main():
                     "text_ids": jnp.asarray(tokenize([caption(start, end)])),
                     "c": jnp.asarray(seg)[None]}
 
-        if variables is None:
-            variables = arch.init(jax.random.PRNGKey(args.seed),
-                                  make_window_batch(0, window))
-            from motioncraft_tpu.utils.checkpoint import load_eval_variables
-            variables = load_eval_variables(
-                cfg.model, variables, checkpoint=args.checkpoint,
-                torch_checkpoint=args.torch_checkpoint)
-            if args.bf16:  # bf16_cast_variables
-                variables = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                    else a, variables)
+        return make_window_batch
 
-        rng, sub = jax.random.split(rng)
-        norm_pred = windowed_sample(arch, variables, make_window_batch,
-                                    total_frames=T, window=window, pre_frames=pre,
-                                    rng=sub, use_repaint=not args.no_repaint,
-                                    repaint=arch.repaint_cfg,
-                                    compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    variables = arch.init(jax.random.PRNGKey(args.seed),
+                          make_mwb(recordings[0])(0, window))
+    from motioncraft_tpu.utils.checkpoint import load_eval_variables
+    variables = load_eval_variables(
+        cfg.model, variables, checkpoint=args.checkpoint,
+        torch_checkpoint=args.torch_checkpoint)
+    if args.bf16:  # bf16_cast_variables
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, variables)
+
+    # generation: sequential protocol (R=1) or lockstep recording batches
+    # (windowed_sample_batch — windows of different recordings share one
+    # DDIM scan; per-recording window chaining is preserved)
+    R = max(1, args.recording_batch)
+    norm_preds = {}
+    cdt = jnp.bfloat16 if args.bf16 else None
+    kw = dict(window=window, pre_frames=pre, use_repaint=not args.no_repaint,
+              repaint=arch.repaint_cfg, compute_dtype=cdt)
+    if R > 1:
+        from motioncraft_tpu.apis.windowed import windowed_sample_batch
+        for g0 in range(0, len(recordings), R):
+            group = recordings[g0:g0 + R]
+            rng, sub = jax.random.split(rng)
+            outs = windowed_sample_batch(
+                arch, variables, [make_mwb(r) for r in group],
+                [len(r["pose"]) for r in group], rng=sub, **kw)
+            for i, o in enumerate(outs):
+                norm_preds[g0 + i] = o
+
+    for ri, rec in enumerate(recordings):
+        T = len(rec["pose"])
+        gt322 = beat2_pose_to_smplx322(rec["pose"], rec["facial"], rec["trans"])
+
+        if ri in norm_preds:
+            norm_pred = norm_preds.pop(ri)
+        else:
+            rng, sub = jax.random.split(rng)
+            norm_pred = windowed_sample(arch, variables, make_mwb(rec),
+                                        total_frames=T, rng=sub, **kw)
         pred322 = denormalize(norm_pred, mean, std)
         # windows cover num_windows*(window-pre)+pre frames; trim GT to match
         T = len(pred322)
