@@ -33,6 +33,10 @@ def parse_args():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute in the windowed sampler "
                         "(params cast + compute_dtype; metrics math stays f32)")
+    p.add_argument("--recording-batch", type=int, default=1,
+                   help="process this many tracks in lockstep through one "
+                        "DDIM scan per window (TPU batching; 1 = the "
+                        "reference's sequential protocol)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -73,15 +77,16 @@ def main():
     norm = dataset.pipeline.transforms[0]  # Normalize
     mean, std = np.asarray(norm.mean), np.asarray(norm.std)
 
-    variables = None
     rng = jax.random.PRNGKey(args.seed)
     preds, gts = [], []
     t0 = time.time()
     infos = dataset.data_infos[: args.limit]
-    for ri, info in enumerate(infos):
-        motion = info["motion"]
+    if not infos:
+        print("no FineDance test tracks found")
+        return
+
+    def make_mwb(info):
         music = info["c"]
-        T = len(motion)
         text = info["text"][0]
 
         def make_window_batch(start, end):
@@ -94,34 +99,49 @@ def main():
                     "text_ids": jnp.asarray(tokenize([text])),
                     "c": jnp.asarray((seg - 0.0).astype(np.float32))[None]}
 
-        if variables is None:
-            variables = arch.init(jax.random.PRNGKey(args.seed),
-                                  make_window_batch(0, window))
-            from motioncraft_tpu.utils.checkpoint import load_eval_variables
-            variables = load_eval_variables(
-                cfg.model, variables, checkpoint=args.checkpoint,
-                torch_checkpoint=args.torch_checkpoint)
-            if args.bf16:  # bf16_cast_variables
-                variables = jax.tree_util.tree_map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                    else a, variables)
+        return make_window_batch
 
-        rng, sub = jax.random.split(rng)
-        norm_pred = windowed_sample(arch, variables, make_window_batch,
-                                    total_frames=T, window=window, pre_frames=pre,
-                                    rng=sub, use_repaint=not args.no_repaint,
-                                    repaint=arch.repaint_cfg,
-                                    compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    variables = arch.init(jax.random.PRNGKey(args.seed),
+                          make_mwb(infos[0])(0, window))
+    from motioncraft_tpu.utils.checkpoint import load_eval_variables
+    variables = load_eval_variables(
+        cfg.model, variables, checkpoint=args.checkpoint,
+        torch_checkpoint=args.torch_checkpoint)
+    if args.bf16:  # bf16_cast_variables
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, variables)
+
+    cdt = jnp.bfloat16 if args.bf16 else None
+    kw = dict(window=window, pre_frames=pre, use_repaint=not args.no_repaint,
+              repaint=arch.repaint_cfg, compute_dtype=cdt)
+    R = max(1, args.recording_batch)
+    norm_preds = {}
+    if R > 1:
+        from motioncraft_tpu.apis.windowed import windowed_sample_batch
+        for g0 in range(0, len(infos), R):
+            group = infos[g0:g0 + R]
+            rng, sub = jax.random.split(rng)
+            outs = windowed_sample_batch(
+                arch, variables, [make_mwb(i) for i in group],
+                [len(i["motion"]) for i in group], rng=sub, **kw)
+            for i, o in enumerate(outs):
+                norm_preds[g0 + i] = o
+    for ri, info in enumerate(infos):
+        motion = info["motion"]
+        T = len(motion)
+        if ri in norm_preds:
+            norm_pred = norm_preds.pop(ri)
+        else:
+            rng, sub = jax.random.split(rng)
+            norm_pred = windowed_sample(arch, variables, make_mwb(info),
+                                        total_frames=T, rng=sub, **kw)
         pred = denormalize(norm_pred, mean, std)
         preds.append(pred)
         gts.append(motion[: len(pred)])
         print(f"[{ri + 1}/{len(infos)}] {info.get('name')} T={T} "
               f"({time.time() - t0:.1f}s)", flush=True)
-
-    if not preds:
-        print("no FineDance test tracks found")
-        return
 
     # FID / Diversity in evaluator embedding space over fixed-length chunks
     ev = build_evaluator_model(cfg.data.get("eval_model") or dict(
