@@ -255,12 +255,23 @@ class MotionDiffusion:
                 lambda a: a.astype(compute_dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 xf_out)
 
+        # hoist the timestep-independent condition encoder (WavEncoder conv
+        # stack) out of the DDIM scan: encoded once per call, not per step
+        c, c_enc = batch.get("c"), None
+        if c is not None and hasattr(type(self.model), "encode_condition"):
+            c_enc = self.model.apply(variables, c.astype(jnp.float32), T,
+                                     method="encode_condition")
+            if compute_dtype is not None:
+                c_enc = c_enc.astype(compute_dtype)
+            c = None
+
         def model_fn(x, t_model):
             xin = x.astype(compute_dtype) if compute_dtype is not None else x
             out = self.model.apply(
                 variables, xin, t_model, motion_mask=motion_mask,
                 motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,
-                num_intervals=num_intervals, c=batch.get("c"), mode="test", **extra)
+                num_intervals=num_intervals, c=c, c_enc=c_enc, mode="test",
+                **extra)
             return out.astype(jnp.float32)
 
         r_noise, r_loop = jax.random.split(rng)

@@ -127,24 +127,34 @@ class ControlT2MHalf(nn.Module):
     def scale_func(self, timestep):
         return self.base.scale_func(timestep)
 
-    def forward_c(self, c, h, train: bool = False):
-        """Condition pre-encode -> zero-init proj -> patchify -> pad to h's
-        length, with the base sequence embedding added (controlnet.py:186-199)."""
+    def forward_c(self, c, seq_len: int, train: bool = False):
+        """Condition pre-encode -> zero-init proj -> patchify -> pad to the
+        motion length, with the base sequence embedding added
+        (controlnet.py:186-199)."""
         if self.condition_pre_encoder is not None:
             c = self.condition_pre_encoder(c, train=train)
         c = self.control_cond_input(c)
         if self.condition_patch is not None:
             c = self.condition_patch(c)
-        seq_len_c = min(c.shape[1], h.shape[1])  # original condition length
-        pad = h.shape[1] - c.shape[1]
+        seq_len_c = min(c.shape[1], seq_len)  # original condition length
+        pad = seq_len - c.shape[1]
         if pad > 0:
             c = jnp.concatenate([c, jnp.zeros((c.shape[0], pad, c.shape[2]), c.dtype)],
                                 axis=1)
         elif pad < 0:
-            c = c[:, :h.shape[1]]
+            c = c[:, :seq_len]
         c = c.at[:, :seq_len_c, :].add(
             self.base.sequence_embedding[None, :seq_len_c, :])
         return c
+
+    def encode_condition(self, c, seq_len: int, train: bool = False):
+        """Public hook for hoisting the (timestep-independent) condition
+        encoder out of the sampling scan: the WavEncoder conv stack costs
+        tens of GFLOPs per call and the reference recomputes it at EVERY
+        denoiser step; encoded once per window it is amortized across the
+        whole DDIM chain (architecture.sample passes the result back in as
+        ``c_enc``)."""
+        return self.forward_c(c, seq_len, train=train)
 
     def _stack(self, h, xf_out, emb, src_mask, cond_type, motion_length,
                num_intervals, c, train):
@@ -167,15 +177,18 @@ class ControlT2MHalf(nn.Module):
 
     def __call__(self, motion, timesteps, motion_mask=None, motion_length=None,
                  xf_out=None, xf_proj=None, num_intervals: int = 1, cond_type=None,
-                 c=None, mode: str = "test", train: bool = False, **kwargs):
+                 c=None, c_enc=None, mode: str = "test", train: bool = False,
+                 **kwargs):
         src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
         h, emb = self.base._embed(motion, timesteps)
         if self.base.use_text_proj and xf_proj is not None:
             emb = emb + xf_proj
         B, T = h.shape[:2]
         T_out = T * self.patch_size
-        if c is not None:
-            c = self.forward_c(c.astype(h.dtype), h, train=train)
+        if c_enc is not None:  # pre-encoded outside the sampling scan
+            c = c_enc.astype(h.dtype)
+        elif c is not None:
+            c = self.forward_c(c.astype(h.dtype), h.shape[1], train=train)
 
         if mode == "train":
             if c is not None and self.condition_cfg_enabled:
