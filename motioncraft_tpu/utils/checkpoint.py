@@ -106,7 +106,8 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
     if torch_checkpoint:
         from .torch_convert import (load_controlnet_ckpt, load_finemogen_ckpt,
                                     load_mcm_ckpt, load_mdm_ckpt,
-                                    load_motiondiffuse_ckpt, load_stmogen_ckpt)
+                                    load_motiondiffuse_ckpt,
+                                    load_remodiffuse_ckpt, load_stmogen_ckpt)
         sub = model_cfg["model"]
         t = sub["type"]
         if t in ("ControlT2MHalf", "ControlT2MHalfMCM"):
@@ -131,6 +132,12 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
             return load_motiondiffuse_ckpt(
                 torch_checkpoint, variables, sub["num_layers"],
                 te.get("num_layers", 4), te.get("clip_layers", 12))
+        if t in ("ReMoDiffuseTransformer", "MoMatMoGenTransformer"):
+            rc = sub.get("retrieval_cfg", {})
+            return load_remodiffuse_ckpt(
+                torch_checkpoint, variables, sub["num_layers"],
+                rc.get("num_motion_layers", 4), rc.get("num_layers", 2),
+                te.get("num_layers", 2), te.get("clip_layers", 12))
         if t == "FineMoGenTransformer":
             return load_finemogen_ckpt(
                 torch_checkpoint, variables, sub["num_layers"], _ffn_heads(sub),

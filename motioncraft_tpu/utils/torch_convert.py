@@ -790,3 +790,98 @@ def load_mdm_ckpt(path: str, variables, num_layers: int,
     variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
     _tree_update(variables["params"], tree)
     return variables
+
+
+# ----------------------------------------------------- ReMoDiffuse family
+def t_semantics_modulated(sd, prefix):
+    """SemanticsModulatedAttention / DualSemanticsModulatedAttention
+    (semantics_modulated.py:18-189): retrieval-conditioned linear attention.
+    The zero-init ``value_retr`` is a flax ZeroDense ({'linear': ...});
+    ``key_inter``/``value_inter`` exist only in the dual (two-person)
+    variant and are mapped when present."""
+    g = lambda n: _k(prefix, n)
+    out = {
+        "norm": t_layernorm(sd, g("norm")),
+        "text_norm": t_layernorm(sd, g("text_norm")),
+        "retr_norm1": t_layernorm(sd, g("retr_norm1")),
+        "retr_norm2": t_layernorm(sd, g("retr_norm2")),
+        "query": t_linear(sd, g("query")),
+        "key_text": t_linear(sd, g("key_text")),
+        "value_text": t_linear(sd, g("value_text")),
+        "key_motion": t_linear(sd, g("key_motion")),
+        "value_motion": t_linear(sd, g("value_motion")),
+        "key_retr": t_linear(sd, g("key_retr")),
+        "value_retr": {"linear": t_linear(sd, g("value_retr"))},
+        "proj_out": t_stylization(sd, g("proj_out")),
+    }
+    for name in ("key_inter", "value_inter"):
+        if f"{g(name)}.weight" in sd:
+            out[name] = t_linear(sd, g(name))
+    return out
+
+
+def t_retrieval_encoder(sd, num_motion_layers: int, num_text_layers: int):
+    """RetrievalDatabase learned re-encoders (remodiffuse.py:84-201) ->
+    flax RetrievalEncoder tree.  The database's motion encoder blocks are
+    EncoderLayer(EfficientSelfAttention w/o StylizationBlock + plain FFN
+    with zero-init linear2); the text encoder is a post-LN
+    nn.TransformerEncoder.  Only learned params convert — the retrieval
+    bank itself (text_features/motions/...) stays the host-side .npz."""
+    out = {
+        "motion_proj": t_linear(sd, "database.motion_proj"),
+        "motion_pos_embedding": sd["database.motion_pos_embedding"],
+    }
+    for i in range(num_motion_layers):
+        p = f"database.motion_encoder_blocks.{i}"
+        out[f"motion_sa_{i}"] = t_eff_attention(sd, f"{p}.sa_block")
+        out[f"motion_ffn1_{i}"] = t_linear(sd, f"{p}.ffn.linear1")
+        out[f"motion_ffn2_{i}"] = {"linear": t_linear(sd, f"{p}.ffn.linear2")}
+    for i in range(num_text_layers):
+        out[f"text_layer_{i}"] = t_postln_layer(
+            sd, f"database.text_encoder.layers.{i}")
+    return out
+
+
+def convert_remodiffuse(sd: Dict[str, np.ndarray], num_layers: int,
+                        num_motion_layers: int = 4, retr_text_layers: int = 2,
+                        text_num_layers: int = 2, clip_layers: int = 12) -> dict:
+    """ReMoDiffuseTransformer / MoMatMoGenTransformer checkpoint
+    (remodiffuse.py:202-341, momatmogen.py:50-) -> flax param tree.
+    Decoder blocks are ca_block (SemanticsModulated[Dual]) + stylized FFN;
+    MoMatMoGen's dual FFN shares one set of weights across both persons and
+    nests as block_i/ffn/ffn in flax (DualFFN wraps a single FFN)."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    out: dict = {
+        "time_embed": {"layers_0": t_linear(sd, "time_embed.0"),
+                       "layers_2": t_linear(sd, "time_embed.2")},
+        "joint_embed": t_linear(sd, "joint_embed"),
+        "out": {"linear": t_linear(sd, "out")},
+        "text_enc": _convert_text_enc(sd, text_num_layers, clip_layers),
+        "retrieval_encoder": t_retrieval_encoder(sd, num_motion_layers,
+                                                 retr_text_layers),
+    }
+    if "sequence_embedding" in sd:
+        out["sequence_embedding"] = sd["sequence_embedding"]
+    dual = any(".ca_block.key_inter.weight" in k for k in sd)
+    for i in range(num_layers):
+        p = f"temporal_decoder_blocks.{i}"
+        ffn = t_ffn(sd, f"{p}.ffn")
+        out[f"block_{i}"] = {
+            "ca_block": t_semantics_modulated(sd, f"{p}.ca_block"),
+            "ffn": {"ffn": ffn} if dual else ffn,
+        }
+    return out
+
+
+def load_remodiffuse_ckpt(path: str, variables, num_layers: int,
+                          num_motion_layers: int = 4, retr_text_layers: int = 2,
+                          text_num_layers: int = 2, clip_layers: int = 12):
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    tree = convert_remodiffuse(sd, num_layers, num_motion_layers,
+                               retr_text_layers, text_num_layers, clip_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables

@@ -319,3 +319,62 @@ def mdm_sd(params, rng, num_layers, clip_layers, official=False):
             lin(sd, f"{p}.mlp.c_fc", blk["mlp_fc"], rng)
             lin(sd, f"{p}.mlp.c_proj", blk["mlp_proj"], rng)
     return sd
+
+
+def postln_layer(sd, name, tree, rng):
+    """nn.TransformerEncoderLayer keys from a flax PostLNEncoderLayer tree."""
+    sd[f"{name}.self_attn.in_proj_weight"] = rng.randn(
+        *tree["self_attn"]["in_proj"]["kernel"].shape[::-1]).astype(np.float32)
+    sd[f"{name}.self_attn.in_proj_bias"] = rng.randn(
+        *tree["self_attn"]["in_proj"]["bias"].shape).astype(np.float32)
+    lin(sd, f"{name}.self_attn.out_proj", tree["self_attn"]["out_proj"], rng)
+    lin(sd, f"{name}.linear1", tree["linear1"], rng)
+    lin(sd, f"{name}.linear2", tree["linear2"], rng)
+    ln(sd, f"{name}.norm1", tree["norm1"], rng)
+    ln(sd, f"{name}.norm2", tree["norm2"], rng)
+
+
+def semantics_modulated(sd, name, tree, rng):
+    for nm in ("norm", "text_norm", "retr_norm1", "retr_norm2"):
+        ln(sd, f"{name}.{nm}", tree[nm], rng)
+    for nm in ("query", "key_text", "value_text", "key_motion", "value_motion",
+               "key_retr", "key_inter", "value_inter"):
+        if nm in tree:
+            lin(sd, f"{name}.{nm}", tree[nm], rng)
+    lin(sd, f"{name}.value_retr", tree["value_retr"]["linear"], rng)
+    styl(sd, f"{name}.proj_out", tree["proj_out"], rng)
+
+
+def remodiffuse_sd(params, rng, num_layers, num_motion_layers, retr_text_layers,
+                   text_layers, clip_layers, dual=False, prefix=""):
+    """ReMoDiffuse/MoMatMoGen torch sd (remodiffuse.py/momatmogen.py naming)
+    from the flax param tree."""
+    sd = {}
+    if "sequence_embedding" in params:
+        sd["sequence_embedding"] = rng.randn(
+            *params["sequence_embedding"].shape).astype(np.float32)
+    lin(sd, "time_embed.0", params["time_embed"]["layers_0"], rng)
+    lin(sd, "time_embed.2", params["time_embed"]["layers_2"], rng)
+    lin(sd, "joint_embed", params["joint_embed"], rng)
+    lin(sd, "out", params["out"]["linear"], rng)
+    text_enc(sd, params["text_enc"], rng, text_layers, clip_layers)
+    re = params["retrieval_encoder"]
+    lin(sd, "database.motion_proj", re["motion_proj"], rng)
+    sd["database.motion_pos_embedding"] = rng.randn(
+        *re["motion_pos_embedding"].shape).astype(np.float32)
+    for i in range(num_motion_layers):
+        p = f"database.motion_encoder_blocks.{i}"
+        eff_attention(sd, f"{p}.sa_block", re[f"motion_sa_{i}"], rng)
+        lin(sd, f"{p}.ffn.linear1", re[f"motion_ffn1_{i}"], rng)
+        lin(sd, f"{p}.ffn.linear2", re[f"motion_ffn2_{i}"]["linear"], rng)
+    for i in range(retr_text_layers):
+        postln_layer(sd, f"database.text_encoder.layers.{i}",
+                     re[f"text_layer_{i}"], rng)
+    for i in range(num_layers):
+        blk = params[f"block_{i}"]
+        p = f"temporal_decoder_blocks.{i}"
+        semantics_modulated(sd, f"{p}.ca_block", blk["ca_block"], rng)
+        ffn(sd, f"{p}.ffn", blk["ffn"]["ffn"] if dual else blk["ffn"], rng)
+    if prefix:
+        sd = {prefix + k: v for k, v in sd.items()}
+    return sd
