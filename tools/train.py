@@ -30,6 +30,11 @@ def parse_args():
                    help="jax.distributed.initialize + dcn mesh axis "
                         "(multi-slice / multi-host; the reference's "
                         "torch.distributed.launch equivalent)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (multihost off-pod; on TPU "
+                        "pods auto-detected)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -69,7 +74,9 @@ def main():
     arch = build_architecture(cfg.model)
     dataset = build_train_dataset(cfg.data)
     if args.multihost:
-        init_distributed()
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
     # multihost: each process loads its interleaved 1/process_count slice
     loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
                               shuffle=True, seed=args.seed, dist=args.multihost,
