@@ -256,9 +256,15 @@ class MotionDiffusion:
                 xf_out)
 
         # hoist the timestep-independent condition encoder (WavEncoder conv
-        # stack) out of the DDIM scan: encoded once per call, not per step
-        c, c_enc = batch.get("c"), None
-        if c is not None and hasattr(type(self.model), "encode_condition"):
+        # stack) out of the DDIM scan: encoded once per call, not per step.
+        # A pre-encoded ``c_enc`` in the batch (fused windowed sampler, which
+        # encodes a whole chunk of windows in one conv call) wins over raw ``c``.
+        c, c_enc = batch.get("c"), batch.get("c_enc")
+        if c_enc is not None:
+            if compute_dtype is not None:
+                c_enc = c_enc.astype(compute_dtype)
+            c = None
+        elif c is not None and hasattr(type(self.model), "encode_condition"):
             c_enc = self.model.apply(variables, c.astype(jnp.float32), T,
                                      method="encode_condition")
             if compute_dtype is not None:
