@@ -186,7 +186,7 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
 
     def make_window_batch(start, end):
         batch = make_text_batch(["a person is doing a speech"], max_seq_len=window)
-        batch["c"] = jnp.asarray(audio[start * spf:end * spf])[None]
+        batch["c"] = audio[start * spf:end * spf][None]  # numpy: no eager RPC
         return batch
 
     variables = arch.init(jax.random.PRNGKey(0), make_window_batch(0, window))

@@ -90,11 +90,14 @@ def make_text_batch(texts, max_seq_len: int = 196, input_feats: int = 322,
     if lengths is None:
         lengths = np.full((B, 1), max_seq_len, np.int32)
     mask = (np.arange(max_seq_len)[None, :] < lengths).astype(np.float32)
+    # numpy on purpose: jit transfers these at dispatch (async, pipelined).
+    # Eager jnp.asarray here would issue one blocking RPC per array on a
+    # remote-runtime TPU — the windowed eval loops call this per window.
     return {
-        "motion": jnp.asarray(motion),
-        "motion_mask": jnp.asarray(mask),
-        "motion_length": jnp.asarray(lengths, jnp.int32),
-        "text_ids": jnp.asarray(tokenize(list(texts))),
+        "motion": np.asarray(motion, np.float32),
+        "motion_mask": mask,
+        "motion_length": np.asarray(lengths, np.int32),
+        "text_ids": tokenize(list(texts)),
     }
 
 

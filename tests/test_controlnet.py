@@ -241,6 +241,36 @@ class TestWindowedBatch:
                                         rng=jax.random.PRNGKey(9), **kw)
         np.testing.assert_allclose(batched[0], single, atol=1e-5)
 
+    def test_precompute_condition_matches_fallback(self, ctrl_arch):
+        """The one-conv-call condition pre-encoding (banked c_enc slices)
+        matches in-window encoding (precompute_condition=False)."""
+        from motioncraft_tpu.apis.windowed import windowed_sample_batch
+        arch, variables, _ = ctrl_arch
+        spf = 16000 // 30
+        rng_np = np.random.RandomState(17)
+        audios = [rng_np.randn(40 * spf, 2).astype(np.float32)
+                  for _ in range(2)]
+        fixed = make_batch(np.random.RandomState(2), with_audio=False)
+
+        def make_mwb(a):
+            def mwb(start, end):
+                b = dict(fixed)
+                b["motion"] = jnp.zeros((1, T, D_IN))
+                b["c"] = jnp.asarray(a[start * spf:end * spf])[None]
+                return b
+            return mwb
+
+        kw = dict(window=T, pre_frames=4, rng=jax.random.PRNGKey(12),
+                  use_repaint=True, repaint=arch.repaint_cfg, feat_dim=D_IN)
+        pre = windowed_sample_batch(arch, variables,
+                                    [make_mwb(a) for a in audios], [40, 40],
+                                    precompute_condition=True, **kw)
+        raw = windowed_sample_batch(arch, variables,
+                                    [make_mwb(a) for a in audios], [40, 40],
+                                    precompute_condition=False, **kw)
+        for p, r in zip(pre, raw):
+            np.testing.assert_allclose(p, r, atol=1e-5)
+
     def test_mixed_length_recordings(self, ctrl_arch):
         """R=2 lockstep with different recording lengths: each output has its
         own length; the shorter recording's padded windows are discarded."""

@@ -102,11 +102,11 @@ def main():
             print(f"  (no music features at {music_path}; conditioning on zeros)")
             music = np.zeros((L, cfg.get("control_cond_feats", 163)), np.float32)
 
-        batch = {"motion": jnp.zeros((1, L, 322)),
-                 "motion_mask": jnp.ones((1, L)),
-                 "motion_length": jnp.full((1, 1), L, jnp.int32),
-                 "text_ids": jnp.asarray(tokenize([text])),
-                 "c": jnp.asarray(music)[None]}
+        batch = {"motion": np.zeros((1, L, 322), np.float32),
+                 "motion_mask": np.ones((1, L), np.float32),
+                 "motion_length": np.full((1, 1), L, np.int32),
+                 "text_ids": tokenize([text]),
+                 "c": np.asarray(music, np.float32)[None]}
 
         if variables is None:
             variables = arch.init(jax.random.PRNGKey(args.seed), batch)

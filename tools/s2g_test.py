@@ -154,11 +154,13 @@ def main():
             seg = audio[start * spf:end * spf]
             if len(seg) < (end - start) * spf:
                 seg = np.pad(seg, ((0, (end - start) * spf - len(seg)), (0, 0)))
-            return {"motion": jnp.zeros((1, window, 322)),
-                    "motion_mask": jnp.ones((1, window)),
-                    "motion_length": jnp.full((1, 1), window, jnp.int32),
-                    "text_ids": jnp.asarray(tokenize([caption(start, end)])),
-                    "c": jnp.asarray(seg)[None]}
+            # numpy (not jnp): eager device arrays cost one blocking RPC
+            # each on a remote-runtime TPU; jit transfers these at dispatch
+            return {"motion": np.zeros((1, window, 322), np.float32),
+                    "motion_mask": np.ones((1, window), np.float32),
+                    "motion_length": np.full((1, 1), window, np.int32),
+                    "text_ids": tokenize([caption(start, end)]),
+                    "c": np.asarray(seg, np.float32)[None]}
 
         return make_window_batch
 
