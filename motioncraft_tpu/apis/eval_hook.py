@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import numpy as np
 
 
 class EvalHook:
@@ -30,18 +29,13 @@ class EvalHook:
         self.logger = logger
         self.seed = seed
         self.best = None
-        self._sample_jit = None
 
     def __call__(self, state, epoch: int):
         if (epoch + 1) % self.interval:
             return None
-        import jax
-        import jax.numpy as jnp
         from ..data import build_dataloader
+        from .test import single_device_test
 
-        if self._sample_jit is None:
-            self._sample_jit = jax.jit(
-                lambda v, b, r: self.arch.sample(v, b, r))
         loader = build_dataloader(self.dataset, samples_per_gpu=self.batch_size,
                                   shuffle=False, round_up=False)
         loader.drop_last = False
@@ -49,25 +43,12 @@ class EvalHook:
         if state.extra_variables:
             variables.update(state.extra_variables)
 
-        rng = jax.random.PRNGKey(self.seed + epoch)
-        results = []
-        for batch in loader:
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                      if isinstance(v, np.ndarray)
-                      and np.issubdtype(v.dtype, np.number)}
-            if jbatch["motion"].shape[0] != self.batch_size:
-                pad = self.batch_size - jbatch["motion"].shape[0]
-                jbatch = {k: jnp.concatenate([v] + [v[-1:]] * pad)
-                          for k, v in jbatch.items()}
-            rng, sub = jax.random.split(rng)
-            pred = self._sample_jit(variables, jbatch, sub)
-            res = dict(batch)
-            res["pred_motion"] = np.asarray(pred)[: len(batch["motion_metas"])]
-            results.extend(self.arch.split_results(res))
-            if self.limit and len(results) >= self.limit:
-                break
-        metrics = self.dataset.evaluate(results[: self.limit] if self.limit
-                                        else results, self.work_dir)
+        # the pipelined eval loop (numpy batches, fold_in rng, deferred
+        # device_get); its jit wrapper is cached on the arch so repeated
+        # hook firings reuse one trace cache
+        results = single_device_test(self.arch, variables, loader,
+                                     seed=self.seed + epoch, limit=self.limit)
+        metrics = self.dataset.evaluate(results, self.work_dir)
         self.logger(f"[eval @ epoch {epoch}] "
                     + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items()))
         if self.save_best and self.save_best in metrics:

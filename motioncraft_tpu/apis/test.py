@@ -16,37 +16,67 @@ import numpy as np
 from ..utils.dist_utils import collect_results
 
 
+def _eval_sample_jit(arch, compute_dtype):
+    """One cached jit wrapper per (arch, compute_dtype): a fresh ``jax.jit``
+    per call would own a fresh trace cache and recompile — EvalHook runs
+    this every ``interval`` epochs."""
+    cache = getattr(arch, "_eval_jit_cache", None)
+    if cache is None:
+        cache = arch._eval_jit_cache = {}
+    if compute_dtype not in cache:
+        import jax
+        cache[compute_dtype] = jax.jit(
+            lambda v, b, r, i: arch.sample(v, b, jax.random.fold_in(r, i),
+                                           compute_dtype=compute_dtype))
+    return cache[compute_dtype]
+
+
 def single_device_test(arch, variables, data_loader, *, seed: int = 0,
                        limit: Optional[int] = None, logger=None,
-                       compute_dtype=None) -> List[Dict[str, Any]]:
+                       compute_dtype=None, max_inflight: int = 2) -> List[Dict[str, Any]]:
     import jax
-    import jax.numpy as jnp
 
-    sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
-                                                     compute_dtype=compute_dtype))
+    # pipelined like apis/windowed.py: batches stay numpy (jit transfers
+    # them asynchronously at dispatch — eager jnp.asarray is one blocking
+    # RPC per array on a remote-runtime TPU), the per-batch rng is fold_in
+    # of a traced batch index (no eager split), and the device_get of each
+    # prediction is deferred behind ``max_inflight`` later dispatches so the
+    # fetch overlaps device compute without accumulating the whole epoch's
+    # predictions in HBM
+    sample_jit = _eval_sample_jit(arch, compute_dtype)
     rng = jax.random.PRNGKey(seed)
     results: List[Dict[str, Any]] = []
+    inflight: List[tuple] = []
     bs = data_loader.batch_size
     t0 = time.time()
+
+    def drain(keep: int):
+        while len(inflight) > keep:
+            pred, batch = inflight.pop(0)
+            res = dict(batch)
+            res["pred_motion"] = np.asarray(pred)[: len(batch["motion_metas"])]
+            results.extend(arch.split_results(res))
+
+    enqueued = 0
     for i, batch in enumerate(data_loader):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+        nbatch = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray) and np.issubdtype(v.dtype, np.number)}
         if arch.inference_type == "gt":
-            pred = jbatch["motion"]
+            pred = nbatch["motion"]
         else:
-            if jbatch["motion"].shape[0] != bs:
-                pad = bs - jbatch["motion"].shape[0]
-                jbatch = {k: jnp.concatenate([v] + [v[-1:]] * pad)
-                          for k, v in jbatch.items()}
-            rng, sub = jax.random.split(rng)
-            pred = sample_jit(variables, jbatch, sub)
-        res = dict(batch)
-        res["pred_motion"] = np.asarray(pred)[: len(batch["motion_metas"])]
-        results.extend(arch.split_results(res))
+            if nbatch["motion"].shape[0] != bs:
+                pad = bs - nbatch["motion"].shape[0]
+                nbatch = {k: np.concatenate([v] + [v[-1:]] * pad)
+                          for k, v in nbatch.items()}
+            pred = sample_jit(variables, nbatch, rng, np.int32(i))
+        inflight.append((pred, batch))
+        drain(max_inflight)
+        enqueued += len(batch["motion_metas"])
         if logger and (i + 1) % 10 == 0:
-            logger(f"{len(results)} samples in {time.time() - t0:.1f}s")
-        if limit and len(results) >= limit:
+            logger(f"{enqueued} samples dispatched in {time.time() - t0:.1f}s")
+        if limit and enqueued >= limit:
             break
+    drain(0)
     return results[:limit] if limit else results
 
 
