@@ -253,3 +253,51 @@ def test_two_process_collect_results(tmp_path):
     outs = [p.communicate(timeout=180)[0] for p in procs]
     assert all(p.returncode == 0 for p in procs), outs
     assert "DIST_EVAL_OK" in outs[0], outs
+
+
+class _StubArch:
+    """Minimal arch for single_device_test: doubles the motion (+1) so the
+    pipelined loop's ordering/padding/limit behavior is checkable."""
+
+    inference_type = "ddim"
+
+    def sample(self, variables, batch, rng, compute_dtype=None):
+        return batch["motion"] * 2.0 + 1.0
+
+    @staticmethod
+    def split_results(results):
+        from motioncraft_tpu.models.architecture import MotionDiffusion
+        return MotionDiffusion.split_results(results)
+
+
+class EvalDataset(RangeDataset):
+    def __getitem__(self, i):
+        return {"motion": np.full((4, 3), i, np.float32),
+                "motion_mask": np.ones((4,), np.float32),
+                "motion_length": np.array([4], np.int32),
+                "motion_metas": {"idx": i}}
+
+
+class TestSingleDeviceTest:
+    def _loader(self, n, bs):
+        loader = DataLoader(EvalDataset(n), batch_size=bs, shuffle=False,
+                            drop_last=False, tokenize_text=False)
+        return loader
+
+    def test_order_padding_and_inflight(self):
+        """10 samples at batch 4 (tail batch of 2 is padded then truncated):
+        every sample evaluated once, in order, pred == 2*motion+1, with the
+        deferred device_get draining behind 2 in-flight dispatches."""
+        from motioncraft_tpu.apis.test import single_device_test
+        results = single_device_test(_StubArch(), {}, self._loader(10, 4))
+        assert len(results) == 10
+        for i, r in enumerate(results):
+            np.testing.assert_allclose(r["motion"], np.full((4, 3), i))
+            np.testing.assert_allclose(r["pred_motion"],
+                                       np.full((4, 3), 2 * i + 1))
+
+    def test_limit(self):
+        from motioncraft_tpu.apis.test import single_device_test
+        results = single_device_test(_StubArch(), {}, self._loader(10, 4),
+                                     limit=5)
+        assert [int(r["motion"][0, 0]) for r in results] == [0, 1, 2, 3, 4]
