@@ -243,8 +243,8 @@ def main():
                 betas=betas, expression=gt322[:, 209:309],
                 jaw_pose=tar_pose165[:, 66:69])["vertices"].reshape(T, -1)
         else:
-            joints = np.asarray(fk_jit(jnp.asarray(pose165),
-                                       jnp.zeros((T, 3), jnp.float32)))
+            joints = np.asarray(fk_jit(pose165.astype(np.float32),
+                                       np.zeros((T, 3), np.float32)))
             facial_rec, facial_tar = pred322[:, 209:309], gt322[:, 209:309]
         joints_rec = np.asarray(joints).reshape(T, -1)[:, :55 * 3]
         l1div.run(joints_rec.copy())
