@@ -155,9 +155,13 @@ def train_model(arch,
             log = logger or (lambda m: print(m, flush=True))
             log(f"resumed from {resume_dir} at epoch {step}")
 
-    step_fn = jax.jit(make_train_step(arch, fp16=fp16),
-                      in_shardings=(replicated(mesh),
-                                    batch_sharding(mesh), replicated(mesh)),
+    # the per-step rng is fold_in of a traced step index INSIDE the jit: an
+    # eager jax.random.split per step is a blocking RPC on remote-runtime
+    # TPUs (see apis/windowed.py for the measured cost of eager carries)
+    base_step = make_train_step(arch, fp16=fp16)
+    step_fn = jax.jit(lambda s, b, r, i: base_step(s, b, jax.random.fold_in(r, i)),
+                      in_shardings=(replicated(mesh), batch_sharding(mesh),
+                                    replicated(mesh), replicated(mesh)),
                       out_shardings=(replicated(mesh), replicated(mesh)))
 
     log = logger or (lambda msg: print(msg, flush=True))
@@ -165,9 +169,13 @@ def train_model(arch,
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
-            for batch in device_prefetch(iter(dataloader), mesh):
-                rng, step_rng = jax.random.split(rng)
-                state, logs = step_fn(state, batch, step_rng)
+            # one eager fold per EPOCH keeps resumed runs on fresh streams;
+            # the per-step fold happens inside the jit (no per-step RPC)
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            for step_in_epoch, batch in enumerate(
+                    device_prefetch(iter(dataloader), mesh)):
+                state, logs = step_fn(state, batch, epoch_rng,
+                                      np.int32(step_in_epoch))
                 # loss-second-moment sampler sync (gaussian_diffusion.py:76-115)
                 if (hasattr(arch, "sampler")
                         and hasattr(arch.sampler, "update_with_local_losses")
