@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None,
                    help="evaluate only the first N results (smoke runs)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 denoiser compute (params cast + compute_dtype; "
+                        "diffusion schedule and metric math stay f32)")
     # repaint/ddim knobs (reference tools/test.py:40-55)
     p.add_argument("--no_repaint", action="store_true")
     p.add_argument("--no_resample", action="store_true")
@@ -86,18 +89,24 @@ def main():
         variables = load_eval_variables(
             cfg.model, variables, checkpoint=args.checkpoint,
             torch_checkpoint=args.torch_checkpoint)
+        if args.bf16:
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, variables)
+    cdt = jnp.bfloat16 if args.bf16 else None
 
     from motioncraft_tpu.apis.test import multi_host_test, single_device_test
     t0 = time.time()
     if dist:
         results = multi_host_test(arch, variables, loader, seed=args.seed,
-                                  limit=args.limit,
+                                  limit=args.limit, compute_dtype=cdt,
                                   logger=lambda m: print("  " + m, flush=True))
         if jax.process_index() != 0:
             return
     else:
         results = single_device_test(arch, variables, loader, seed=args.seed,
-                                     limit=args.limit,
+                                     limit=args.limit, compute_dtype=cdt,
                                      logger=lambda m: print("  " + m, flush=True))
     print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
     metrics = dataset.evaluate(results[:args.limit] if args.limit else results,
