@@ -57,11 +57,9 @@ def main():
 
     compute_dtype = None
     if args.dtype == "bf16":
+        from motioncraft_tpu.apis import bf16_cast_variables
         compute_dtype = jnp.bfloat16
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
-            variables)
+        variables = bf16_cast_variables(variables)
 
     sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
                                                      compute_dtype=compute_dtype))
@@ -189,11 +187,9 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
         batch["c"] = audio[start * spf:end * spf][None]  # numpy: no eager RPC
         return batch
 
-    variables = arch.init(jax.random.PRNGKey(0), make_window_batch(0, window))
-    variables = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating) else a,
-        variables)
+    from motioncraft_tpu.apis import bf16_cast_variables
+    variables = bf16_cast_variables(
+        arch.init(jax.random.PRNGKey(0), make_window_batch(0, window)))
     repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
                             jump_n_sample=2)
     R = recording_batch

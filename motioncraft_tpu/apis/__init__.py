@@ -1,5 +1,5 @@
 from .eval_hook import EvalHook
-from .factory import (build_flagship, flagship_s2g_cfg,
+from .factory import (bf16_cast_variables, build_flagship, flagship_s2g_cfg,
                       flagship_t2m_cfg, make_text_batch,
                       tiny_t2m_cfg)
 from .test import multi_host_test, single_device_test

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,6 +80,16 @@ def tiny_t2m_cfg(expert_axis: Optional[str] = None, max_seq_len: int = 16) -> di
 def build_flagship(cfg: Optional[dict] = None):
     import motioncraft_tpu.models  # noqa: F401  (trigger registration)
     return build_architecture(cfg or flagship_t2m_cfg())
+
+
+def bf16_cast_variables(variables):
+    """Cast every floating leaf of a variables pytree to bfloat16 (the
+    standard eval-time params cast used with ``compute_dtype=jnp.bfloat16``;
+    diffusion schedule and metric math stay f32 at the call sites)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a, variables)
 
 
 def make_text_batch(texts, max_seq_len: int = 196, input_feats: int = 322,

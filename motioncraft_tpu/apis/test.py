@@ -17,18 +17,23 @@ from ..utils.dist_utils import collect_results
 
 
 def _eval_sample_jit(arch, compute_dtype):
-    """One cached jit wrapper per (arch, compute_dtype): a fresh ``jax.jit``
-    per call would own a fresh trace cache and recompile — EvalHook runs
-    this every ``interval`` epochs."""
+    """One cached jit wrapper per (arch, compute_dtype, mutable-config): a
+    fresh ``jax.jit`` per call would own a fresh trace cache and recompile —
+    EvalHook runs this every ``interval`` epochs.  ``arch.sample`` bakes
+    ``inference_type``/``repaint_cfg`` into the trace, so they are part of
+    the key: mutating them between evaluations (repaint sweeps, gt-mode
+    toggles) must not silently reuse a stale executable."""
     cache = getattr(arch, "_eval_jit_cache", None)
     if cache is None:
         cache = arch._eval_jit_cache = {}
-    if compute_dtype not in cache:
+    key = (compute_dtype, getattr(arch, "inference_type", None),
+           getattr(arch, "repaint_cfg", None))
+    if key not in cache:
         import jax
-        cache[compute_dtype] = jax.jit(
+        cache[key] = jax.jit(
             lambda v, b, r, i: arch.sample(v, b, jax.random.fold_in(r, i),
                                            compute_dtype=compute_dtype))
-    return cache[compute_dtype]
+    return cache[key]
 
 
 def single_device_test(arch, variables, data_loader, *, seed: int = 0,

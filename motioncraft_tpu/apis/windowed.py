@@ -43,34 +43,45 @@ def _jitted_samplers(arch):
     every eager op is a blocking RPC, and the old per-window eager carries
     cost ~4x the jitted window itself (measured: 514 ms jitted window at
     R=8 vs ~1.9 s/window end-to-end)."""
-    cache = getattr(arch, "_windowed_jit_cache", None)
+    caches = getattr(arch, "_windowed_jit_cache", None)
+    if caches is None:
+        caches = arch._windowed_jit_cache = {}
+    # arch.sample bakes inference_type/repaint_cfg into the trace — key on
+    # them so mutating arch config between calls can't reuse a stale trace
+    cfg_key = (getattr(arch, "inference_type", None),
+               getattr(arch, "repaint_cfg", None))
+    cache = caches.get(cfg_key)
     if cache is None:
         def make_fns(banked):
-            # banked=True: ``b`` is a pytree of [n_win, ...] banks resident
-            # on device; the window's batch is sliced out by the TRACED
-            # window index, so dispatching window w moves zero bytes
-            def pick(b, widx):
+            # banked=True: ``b`` is {"static": window-invariant arrays,
+            # "banked": [n_chunk, ...] banks}, all resident on device; the
+            # window's batch is sliced out of the banks by the TRACED
+            # chunk-local index ``bidx``, so dispatching window w moves zero
+            # bytes (``widx`` stays the GLOBAL index feeding the rng fold)
+            def pick(b, bidx):
                 if not banked:
                     return b
-                return jax.tree_util.tree_map(lambda a: a[widx], b)
+                return {**b["static"],
+                        **{k: v[bidx] for k, v in b["banked"].items()}}
 
-            def first_fn(v, b, rng, widx, dt):
-                out = arch.sample(v, pick(b, widx), jax.random.fold_in(rng, widx),
+            def first_fn(v, b, rng, widx, bidx, dt):
+                out = arch.sample(v, pick(b, bidx), jax.random.fold_in(rng, widx),
                                   compute_dtype=dt)
                 return out[0] if isinstance(out, tuple) else out
 
-            def preseq_fn(v, b, rng, widx, last, pre, dt):
-                out = arch.sample(v, pick(b, widx), jax.random.fold_in(rng, widx),
+            def preseq_fn(v, b, rng, widx, bidx, last, pre, dt):
+                out = arch.sample(v, pick(b, bidx), jax.random.fold_in(rng, widx),
                                   pre_seq=last[:, -pre:, :], compute_dtype=dt)
                 return out[0] if isinstance(out, tuple) else out
 
-            def outpaint_fn(v, b, rng, widx, last, tails, pre, clip_idx_gt0, dt):
+            def outpaint_fn(v, b, rng, widx, bidx, last, tails, pre,
+                            clip_idx_gt0, dt):
                 gt = jnp.zeros_like(last).at[:, :pre, :].set(last[:, -pre:, :])
                 mask = jnp.zeros(last.shape, bool).at[:, :pre, :].set(True)
                 op = Outpainting(mask=mask, gt=gt,
                                  clip_idx=1 if clip_idx_gt0 else 0,
                                  previous_noisy_tail=tails)
-                out = arch.sample(v, pick(b, widx), jax.random.fold_in(rng, widx),
+                out = arch.sample(v, pick(b, bidx), jax.random.fold_in(rng, widx),
                                   outpainting=op, compute_dtype=dt)
                 if isinstance(out, tuple):
                     return out  # (sample, new noisy tails)
@@ -78,9 +89,9 @@ def _jitted_samplers(arch):
 
             suffix = "_b" if banked else ""
             return {
-                "plain" + suffix: jax.jit(first_fn, static_argnums=(4,)),
-                "pre_seq" + suffix: jax.jit(preseq_fn, static_argnums=(5, 6)),
-                "outpaint" + suffix: jax.jit(outpaint_fn, static_argnums=(6, 7, 8)),
+                "plain" + suffix: jax.jit(first_fn, static_argnums=(5,)),
+                "pre_seq" + suffix: jax.jit(preseq_fn, static_argnums=(6, 7)),
+                "outpaint" + suffix: jax.jit(outpaint_fn, static_argnums=(7, 8, 9)),
             }
 
         def encode_fn(v, c, seq_len):
@@ -91,24 +102,25 @@ def _jitted_samplers(arch):
         cache = {**make_fns(False), **make_fns(True),
                  "encode": jax.jit(encode_fn, static_argnums=(2,)),
                  "num_timesteps": arch.diffusion_test.num_timesteps}
-        arch._windowed_jit_cache = cache
+        caches[cfg_key] = cache
     return cache
 
 
 def _dispatch_window(jits, variables, batch, rng, w, last, tails, *,
                      use_repaint, repaint, pre_frames, compute_dtype,
-                     banked=False):
+                     banked=False, bank_base=0):
     """Dispatch one window (no sync, no eager ops).  Returns (sample, tails)
     device refs; ``tails`` is lazily created as host zeros on the first
     outpainted window (transferred once).  With ``banked``, ``batch`` is the
-    stacked [n_win, ...] bank pytree and the jit slices out window w."""
+    {static, banked-[n_chunk, ...]} pytree and the jit slices out window
+    ``w - bank_base``."""
     sfx = "_b" if banked else ""
-    widx = np.int32(w)
+    widx, bidx = np.int32(w), np.int32(w - bank_base)
     if w == 0:
-        return (jits["plain" + sfx](variables, batch, rng, widx,
+        return (jits["plain" + sfx](variables, batch, rng, widx, bidx,
                                     compute_dtype), tails)
     if not use_repaint:
-        return (jits["pre_seq" + sfx](variables, batch, rng, widx, last,
+        return (jits["pre_seq" + sfx](variables, batch, rng, widx, bidx, last,
                                       pre_frames, compute_dtype), tails)
     if tails is None:
         # diffusion_test.num_timesteps is the respaced step count; the tail
@@ -117,8 +129,9 @@ def _dispatch_window(jits, variables, batch, rng, w, last, tails, *,
         tails = np.zeros((num_t, last.shape[0], repaint.overlap_len,
                           last.shape[-1]), np.float32)
     clip_idx_gt0 = bool(repaint.same_overlap_noisy and w >= 2)
-    return jits["outpaint" + sfx](variables, batch, rng, widx, last, tails,
-                                  pre_frames, clip_idx_gt0, compute_dtype)
+    return jits["outpaint" + sfx](variables, batch, rng, widx, bidx, last,
+                                  tails, pre_frames, clip_idx_gt0,
+                                  compute_dtype)
 
 
 def windowed_sample(
@@ -207,6 +220,8 @@ def windowed_sample_batch(
     feat_dim: int = 322,
     compute_dtype=None,
     precompute_condition: bool = True,
+    window_chunk: Optional[int] = None,
+    lookahead: int = 4,
 ):
     """Lockstep-batched long-form generation over R recordings.
 
@@ -219,16 +234,18 @@ def windowed_sample_batch(
     shorter than the longest keep sampling padded windows whose outputs are
     discarded (bounded waste, grouping by length avoids most of it).
 
-    All host work happens before the dispatch loop: every window's batch is
-    built and stacked into [n_win, ...] banks transferred ONCE, and (with
+    Host work happens per CHUNK of ``window_chunk`` windows, never per
+    window: each chunk's batches are built, window-invariant arrays (zeros
+    motion, masks, constant text) are split out and transferred once, the
+    varying keys are stacked into [n_chunk, ...] banks, and (with
     ``precompute_condition``, for models exposing ``encode_condition``) the
-    raw per-window condition is replaced by its encoded features via a
-    single conv call over all R x n_win windows.  The loop itself is then
-    pure dispatch — the jitted window step slices its inputs out of the
-    device-resident banks by a traced window index, so no bytes cross the
-    host boundary between windows (on a remote-runtime TPU each transfer is
-    a blocking RPC; this took R=8 S2G from 330 to ~steady-state-compute
-    windows/min).
+    raw per-window condition is replaced by its encoded features via one
+    conv call per chunk.  The dispatch loop slices the device-resident
+    banks by a traced chunk-local index, so no bytes cross the host
+    boundary between windows (on a remote-runtime TPU each transfer is a
+    blocking RPC; this took R=8 S2G from 330 to 875 windows/min).  Outputs
+    are drained to host behind a ``lookahead`` of in-flight windows, so
+    device memory stays O(chunk), not O(recording length).
 
     Returns a list of [total_frames_r, D] arrays, one per recording.
     """
@@ -241,48 +258,62 @@ def windowed_sample_batch(
     jits = _jitted_samplers(arch)
     kw = dict(use_repaint=use_repaint, repaint=repaint,
               pre_frames=pre_frames, compute_dtype=compute_dtype)
+    # bound the encode-call batch (and the bank size) to ~256 windows
+    chunk = window_chunk or max(1, 256 // max(1, R))
 
-    # ---- host phase: build every window batch, stack into banks ----
-    wins = []
-    for w in range(max_rounds):
-        start, end = w * stride, w * stride + window
-        wins.append(_concat_parts([mwb(start, end)
-                                   for mwb in make_window_batches]))
-    enc = None
-    if "c" in wins[0]:
-        # pad the raw condition to one length across ALL windows (kept
-        # windows always have the full-length slice — only discarded padded
-        # windows of shorter recordings are affected, see _concat_parts)
-        cs = [b.pop("c") for b in wins]
-        L = max(c.shape[1] for c in cs)
-        cs = np.stack([np.pad(c, [(0, 0), (0, L - c.shape[1])]
-                              + [(0, 0)] * (c.ndim - 2)) for c in cs])
-        if precompute_condition and hasattr(type(arch.model),
-                                            "encode_condition"):
-            # ONE conv call encodes all windows; eval-mode BatchNorm makes
-            # the result independent of the batch composition
-            enc = jits["encode"](variables,
-                                 cs.reshape((max_rounds * R,) + cs.shape[2:]),
-                                 window)
-            enc = enc.reshape((max_rounds, R) + enc.shape[1:])
-        else:
-            for w, b in enumerate(wins):
-                b["c"] = cs[w]
-    banks = jax.device_put({k: np.stack([b[k] for b in wins])
-                            for k in wins[0]})
-    if enc is not None:
-        banks["c_enc"] = enc  # already a stacked [n_win, R, W, D] device ref
-
-    # ---- dispatch phase: pure enqueue, zero host bytes per window ----
-    samples: list = []
+    host: list = []  # drained per-window [R, window, D] arrays
+    pending: list = []  # in-flight device refs
     last = None
     tails = None
-    for w in range(max_rounds):
-        last, tails = _dispatch_window(jits, variables, banks, rng, w, last,
-                                       tails, banked=True, **kw)
-        samples.append(last)
+    for c0 in range(0, max_rounds, chunk):
+        wins = []
+        for w in range(c0, min(c0 + chunk, max_rounds)):
+            start, end = w * stride, w * stride + window
+            wins.append(_concat_parts([mwb(start, end)
+                                       for mwb in make_window_batches]))
+        enc = None
+        if "c" in wins[0]:
+            # pad the raw condition to one length across the chunk (kept
+            # windows always have the full-length slice — only discarded
+            # padded windows of shorter recordings are affected)
+            cs = [b.pop("c") for b in wins]
+            L = max(c.shape[1] for c in cs)
+            cs = np.stack([np.pad(c, [(0, 0), (0, L - c.shape[1])]
+                                  + [(0, 0)] * (c.ndim - 2)) for c in cs])
+            if precompute_condition and hasattr(type(arch.model),
+                                                "encode_condition"):
+                # one conv call encodes the whole chunk; eval-mode BatchNorm
+                # makes the result independent of the batch composition
+                enc = jits["encode"](
+                    variables, cs.reshape((len(wins) * R,) + cs.shape[2:]),
+                    window)
+                enc = enc.reshape((len(wins), R) + enc.shape[1:])
+            else:
+                for i, b in enumerate(wins):
+                    b["c"] = cs[i]
+        # window-invariant arrays (zeros motion, masks, constant text) are
+        # transferred once, not banked n_chunk times
+        static, banked = {}, {}
+        for k in wins[0]:
+            vals = [b[k] for b in wins]
+            if all(v.shape == vals[0].shape and np.array_equal(v, vals[0])
+                   for v in vals[1:]):
+                static[k] = vals[0]
+            else:
+                banked[k] = np.stack(vals)
+        banks = jax.device_put({"static": static, "banked": banked})
+        if enc is not None:
+            banks["banked"]["c_enc"] = enc  # already a device ref
 
-    host = [np.asarray(s) for s in jax.device_get(samples)]  # single sync
+        for w in range(c0, min(c0 + chunk, max_rounds)):
+            last, tails = _dispatch_window(jits, variables, banks, rng, w,
+                                           last, tails, banked=True,
+                                           bank_base=c0, **kw)
+            pending.append(last)
+            if len(pending) > lookahead:
+                host.append(np.asarray(pending.pop(0)))
+
+    host.extend(np.asarray(s) for s in jax.device_get(pending))
     outs: list = [[] for _ in range(R)]
     for w, h in enumerate(host):
         for r in range(R):

@@ -271,6 +271,29 @@ class TestWindowedBatch:
         for p, r in zip(pre, raw):
             np.testing.assert_allclose(p, r, atol=1e-5)
 
+    def test_window_chunking_invariant(self, ctrl_arch):
+        """Chunked banks (window_chunk=2) produce the same output as one
+        bank: the carry crosses chunk boundaries and the rng fold uses the
+        GLOBAL window index, not the chunk-local bank index."""
+        from motioncraft_tpu.apis.windowed import windowed_sample_batch
+        arch, variables, _ = ctrl_arch
+        spf = 16000 // 30
+        audio = np.random.RandomState(23).randn(52 * spf, 2).astype(np.float32)
+        fixed = make_batch(np.random.RandomState(3), with_audio=False)
+
+        def mwb(start, end):
+            b = dict(fixed)
+            b["motion"] = jnp.zeros((1, T, D_IN))
+            b["c"] = jnp.asarray(audio[start * spf:end * spf])[None]
+            return b
+
+        kw = dict(window=T, pre_frames=4, rng=jax.random.PRNGKey(14),
+                  use_repaint=True, repaint=arch.repaint_cfg, feat_dim=D_IN)
+        whole = windowed_sample_batch(arch, variables, [mwb], [52], **kw)
+        chunked = windowed_sample_batch(arch, variables, [mwb], [52],
+                                        window_chunk=2, **kw)
+        np.testing.assert_allclose(chunked[0], whole[0], atol=1e-6)
+
     def test_mixed_length_recordings(self, ctrl_arch):
         """R=2 lockstep with different recording lengths: each output has its
         own length; the shorter recording's padded windows are discarded."""

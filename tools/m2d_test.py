@@ -109,11 +109,9 @@ def main():
     variables = load_eval_variables(
         cfg.model, variables, checkpoint=args.checkpoint,
         torch_checkpoint=args.torch_checkpoint)
-    if args.bf16:  # bf16_cast_variables
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, variables)
+    if args.bf16:
+        from motioncraft_tpu.apis import bf16_cast_variables
+        variables = bf16_cast_variables(variables)
 
     cdt = jnp.bfloat16 if args.bf16 else None
     kw = dict(window=window, pre_frames=pre, use_repaint=not args.no_repaint,

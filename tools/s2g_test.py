@@ -170,11 +170,9 @@ def main():
     variables = load_eval_variables(
         cfg.model, variables, checkpoint=args.checkpoint,
         torch_checkpoint=args.torch_checkpoint)
-    if args.bf16:  # bf16_cast_variables
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, variables)
+    if args.bf16:
+        from motioncraft_tpu.apis import bf16_cast_variables
+        variables = bf16_cast_variables(variables)
 
     # generation: sequential protocol (R=1) or lockstep recording batches
     # (windowed_sample_batch — windows of different recordings share one

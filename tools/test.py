@@ -90,10 +90,8 @@ def main():
             cfg.model, variables, checkpoint=args.checkpoint,
             torch_checkpoint=args.torch_checkpoint)
         if args.bf16:
-            variables = jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-                else a, variables)
+            from motioncraft_tpu.apis import bf16_cast_variables
+            variables = bf16_cast_variables(variables)
     cdt = jnp.bfloat16 if args.bf16 else None
 
     from motioncraft_tpu.apis.test import multi_host_test, single_device_test
