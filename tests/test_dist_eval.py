@@ -301,3 +301,18 @@ class TestSingleDeviceTest:
         results = single_device_test(_StubArch(), {}, self._loader(10, 4),
                                      limit=5)
         assert [int(r["motion"][0, 0]) for r in results] == [0, 1, 2, 3, 4]
+
+    def test_jit_cache_keys_on_mutable_config(self):
+        """Mutating arch.repaint_cfg / inference_type between evaluations
+        must produce a fresh trace, not silently reuse a stale executable."""
+        from motioncraft_tpu.apis.test import _eval_sample_jit
+        from motioncraft_tpu.diffusion.sampling import RepaintConfig
+        arch = _StubArch()
+        arch.repaint_cfg = RepaintConfig(overlap_len=4)
+        f1 = _eval_sample_jit(arch, None)
+        assert _eval_sample_jit(arch, None) is f1  # same config -> cached
+        arch.repaint_cfg = RepaintConfig(overlap_len=8)
+        f2 = _eval_sample_jit(arch, None)
+        assert f2 is not f1
+        arch.inference_type = "ddpm"
+        assert _eval_sample_jit(arch, None) is not f2
