@@ -182,8 +182,14 @@ class MoELayer(nn.Module):
         w2 = self.param("expert_w2", nn.initializers.lecun_normal(), (E, self.hidden_dim, D))
         b2 = self.param("expert_b2", zeros_init, (E, D))
         if self.expert_axis is not None:
-            w1 = jax.lax.with_sharding_constraint(w1, jax.sharding.PartitionSpec(self.expert_axis))
-            w2 = jax.lax.with_sharding_constraint(w2, jax.sharding.PartitionSpec(self.expert_axis))
+            # pin dim0 to the expert axis; leave d/f dims UNCONSTRAINED so a
+            # tensor-parallel weight layout (parallel/tp.py: hidden dim over
+            # 'tensor') survives instead of being gathered back here
+            U = jax.sharding.PartitionSpec.UNCONSTRAINED
+            w1 = jax.lax.with_sharding_constraint(
+                w1, jax.sharding.PartitionSpec(self.expert_axis, U, U))
+            w2 = jax.lax.with_sharding_constraint(
+                w2, jax.sharding.PartitionSpec(self.expert_axis, U, U))
 
         token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                                      (N, K)).reshape(-1)

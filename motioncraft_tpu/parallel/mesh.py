@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 EXPERT_AXIS = "expert"
 DCN_AXIS = "dcn"
+TENSOR_AXIS = "tensor"  # Megatron-style weight sharding; rules in tp.py
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -84,8 +85,16 @@ def create_mesh(n_devices: Optional[int] = None,
         if len(axes) == 1:
             shape = (n,)
         else:
-            expert = 2 if n % 2 == 0 and n >= 2 else 1
-            shape = (n // expert, expert) + (1,) * (len(axes) - 2)
+            # default: up to 2 on each non-data axis (expert/tensor),
+            # remainder on data — data-parallel is the scaling axis for
+            # <=0.25B models (the reference's own 8-GPU DDP recipe)
+            sizes = []
+            rem = n
+            for _ in axes[1:]:
+                s = 2 if rem % 2 == 0 and rem >= 2 else 1
+                sizes.append(s)
+                rem //= s
+            shape = (rem,) + tuple(sizes)
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axes)
 
