@@ -133,7 +133,8 @@ def train_model(arch,
 
     if init_state is None:
         rng, init_rng = jax.random.split(rng)
-        variables = arch.init(init_rng, first)
+        with jax.set_mesh(mesh):  # expert-axis constraints fire during init
+            variables = arch.init(init_rng, first)
         if variables_transform is not None:
             variables = variables_transform(variables)
         schedule = build_lr_schedule((optimizer_cfg or {}).get("lr", 2e-4), lr_config,
@@ -159,10 +160,19 @@ def train_model(arch,
     # eager jax.random.split per step is a blocking RPC on remote-runtime
     # TPUs (see apis/windowed.py for the measured cost of eager carries)
     base_step = make_train_step(arch, fp16=fp16)
+    from ..parallel import TENSOR_AXIS
+    if TENSOR_AXIS in mesh.axis_names and mesh.shape[TENSOR_AXIS] > 1:
+        # tensor-parallel weight layout (parallel/tp.py): params + adam
+        # moments stay sharded across steps; the batch stays on 'data'
+        from ..parallel import tree_shardings
+        state_sh = tree_shardings(state, mesh)
+        state = jax.device_put(state, state_sh)
+    else:
+        state_sh = replicated(mesh)
     step_fn = jax.jit(lambda s, b, r, i: base_step(s, b, jax.random.fold_in(r, i)),
-                      in_shardings=(replicated(mesh), batch_sharding(mesh),
+                      in_shardings=(state_sh, batch_sharding(mesh),
                                     replicated(mesh), replicated(mesh)),
-                      out_shardings=(replicated(mesh), replicated(mesh)))
+                      out_shardings=(state_sh, replicated(mesh)))
 
     log = logger or (lambda msg: print(msg, flush=True))
     global_step = 0

@@ -98,3 +98,33 @@ def test_train_model_end_to_end(tmp_path):
     assert len(losses2) == 2 * n
     # resumed training continues to improve on the already-trained loss
     assert np.mean(losses2) < np.mean(losses[:n])
+
+
+def test_train_model_tensor_parallel(tmp_path):
+    """The tp path through train_model (params + adam moments sharded over
+    (data, expert, tensor), persistent across steps) trains and checkpoints:
+    what tools/train.py --tensor-parallel drives."""
+    import jax
+
+    from motioncraft_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    arch = build_flagship(tiny_t2m_cfg(expert_axis="expert"))
+    loader = DataLoader(ConstantMotionDataset(), batch_size=8, shuffle=True)
+    mesh = create_mesh(8, axes=("data", "expert", "tensor"))  # (2, 2, 2)
+    ckpt_dir = str(tmp_path / "ckpt_tp")
+    logs = []
+    state = train_model(arch, loader,
+                        optimizer_cfg={"type": "Adam", "lr": 2e-3},
+                        max_epochs=2, steps_per_epoch=len(loader),
+                        log_interval=1, logger=logs.append, mesh=mesh,
+                        checkpoint_fn=lambda s, e: save_checkpoint(ckpt_dir, s, e))
+    losses = _losses_from_logs(logs)
+    n = len(loader)
+    assert np.mean(losses[-n:]) < np.mean(losses[:n]), losses
+    assert latest_step(ckpt_dir) == 1
+    # the live state really is tensor-sharded
+    w1 = state.params["block_0"]["ca_block"]["motion_moe"]["model"]["expert_w1"]
+    E, d, f = w1.shape
+    assert {s.data.shape for s in w1.addressable_shards} == {(E // 2, d, f // 2)}

@@ -26,6 +26,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="shard FFN/MoE weights over a 'tensor' mesh axis of "
+                        "this size (Megatron-style; parallel/tp.py). "
+                        "Single-host only for now")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize + dcn mesh axis "
                         "(multi-slice / multi-host; the reference's "
@@ -81,7 +85,21 @@ def main():
     loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
                               shuffle=True, seed=args.seed, dist=args.multihost,
                               workers_per_gpu=cfg.data.get("workers_per_gpu", 2))
-    mesh = create_mesh(args.devices, dcn_axis=args.multihost)
+    if args.tensor_parallel > 1:
+        if args.multihost:
+            raise SystemExit("--tensor-parallel with --multihost is not "
+                             "supported yet (tensor collectives must stay "
+                             "on ICI; shard tp within a slice)")
+        import jax
+        n = args.devices or len(jax.devices())
+        tp = args.tensor_parallel
+        if n % tp:
+            raise SystemExit(f"--tensor-parallel {tp} does not divide {n} devices")
+        ep = 2 if (n // tp) % 2 == 0 and n // tp >= 2 else 1
+        mesh = create_mesh(n, axes=("data", "expert", "tensor"),
+                           shape=(n // (tp * ep), ep, tp))
+    else:
+        mesh = create_mesh(args.devices, dcn_axis=args.multihost)
     logger.info(f"mesh: {dict(mesh.shape)}; dataset: {len(dataset)} samples, "
                 f"{len(loader)} steps/epoch")
 
