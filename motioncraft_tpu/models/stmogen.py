@@ -29,6 +29,26 @@ def _maybe_zero(zero: bool):
     return dict(kernel_init=zeros_init, bias_init=zeros_init) if zero else {}
 
 
+def _sum_named_leaves(tree, key_name: str):
+    """Sum every leaf under any dict key == key_name (None when absent) —
+    the per-layer counterpart of architecture._collect_loss_leaves."""
+    total, found = jnp.float32(0.0), False
+
+    def walk(node):
+        nonlocal total, found
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == key_name:
+                    for leaf in jax.tree_util.tree_leaves(v):
+                        total = total + jnp.asarray(leaf, jnp.float32)
+                        found = True
+                else:
+                    walk(v)
+
+    walk(dict(tree))
+    return total if found else None
+
+
 class PoseEncoder(nn.Module):
     """Per-body-part linear (or temporal-patch) embedding + whole-body embed
     (reference stmogen.py:141-378)."""
@@ -160,6 +180,12 @@ class STMoGenTransformer(DiffusionTransformerBase):
     scale_func_cfg: Optional[dict] = None
     moe_route_loss_weight: float = 1.0
     template_kl_loss_weight: float = 0.0001
+    # GPipe the decoder stack over this mesh axis (parallel/pp.py): each
+    # stage holds num_layers/S layers, activations ppermute stage-to-stage,
+    # `pipeline_microbatches` microbatches fill the schedule.  MoE routing
+    # becomes per-microbatch — the reference's own per-rank Tutel semantics.
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: int = 2
 
     def setup_io(self):
         self.joint_embed = PoseEncoder(**(self.pose_encoder_cfg or {}),
@@ -188,14 +214,74 @@ class STMoGenTransformer(DiffusionTransformerBase):
         return {"moe_route_loss": self.moe_route_loss_weight,
                 "template_kl_loss": self.template_kl_loss_weight}
 
+    def _run_blocks(self, h, xf, emb, src_mask, cond_type, motion_length,
+                    num_intervals, train):
+        """Apply the decoder stack; GPipe it over ``pipeline_axis`` when set
+        (parallel/pp.py — the reference's DDP has no pipeline path)."""
+        if self.pipeline_axis is None or self.is_initializing():
+            for block in self.temporal_decoder_blocks:
+                h = block(h, xf, emb, src_mask, cond_type, motion_length,
+                          num_intervals, train)
+            return h
+        if isinstance(self.ffn_cfg, (list, tuple)):
+            raise ValueError("pipeline_axis requires homogeneous layers "
+                             "(per-layer ffn_cfg lists cannot be stacked)")
+        if train and ((self.ca_block_cfg or {}).get("dropout", 0.0)
+                      or (self.ffn_cfg or {}).get("dropout", 0.0)):
+            raise ValueError("pipeline_axis training path does not thread "
+                             "dropout rngs; set dropout=0")
+        from ..parallel.pp import gpipe
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[b.variables["params"] for b in self.temporal_decoder_blocks])
+        # parent=None: a detached functional template, not a submodule
+        layer = STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
+                                    ffn_cfg=self.ffn_cfg, parent=None)
+
+        # per-(layer, microbatch) gate-noise streams: fold the outer rng with
+        # the stacked layer index and the microbatch's first global row id
+        needs_gate = train and (self.ca_block_cfg or {}).get("gate_noise", 0) > 0
+        gate_rng = (self.make_rng("gate_noise")
+                    if needs_gate and self.has_rng("gate_noise") else None)
+        row_ids = jnp.arange(h.shape[0], dtype=jnp.int32)
+        layer_ids = jnp.arange(self.num_layers, dtype=jnp.int32)
+
+        def layer_fn(p, x_mb, c):
+            params, lidx = p
+            xf_, emb_, mask_, cond_, ml_, rows = c
+            rngs = None
+            if gate_rng is not None:
+                rngs = {"gate_noise": jax.random.fold_in(
+                    jax.random.fold_in(gate_rng, lidx), rows[0])}
+            out = layer.apply({"params": params}, x_mb, xf_, emb_, mask_,
+                              cond_, ml_, num_intervals, train,
+                              mutable=["losses"] if train else False,
+                              rngs=rngs)
+            if not train:
+                return out, {}
+            y, mut = out
+            aux = {}
+            for name in ("aux_loss", "kl_loss"):
+                s = _sum_named_leaves(mut.get("losses", {}), name)
+                if s is not None:
+                    aux[name] = s
+            return y, aux
+
+        h, aux = gpipe(layer_fn, (stacked, layer_ids), h,
+                       (xf, emb, src_mask, cond_type, motion_length, row_ids),
+                       n_microbatch=self.pipeline_microbatches,
+                       axis=self.pipeline_axis)
+        for name, val in aux.items():
+            self.sow("losses", name, val)
+        return h
+
     def forward_train(self, h=None, src_mask=None, emb=None, xf_out=None,
                       cond_type=None, motion_length=None, num_intervals=1,
                       train=False, **kwargs):
         B, T = h.shape[:2]
         T_out = T * self.patch_size
-        for block in self.temporal_decoder_blocks:
-            h = block(h, xf_out, emb, src_mask, cond_type, motion_length,
-                      num_intervals, train)
+        h = self._run_blocks(h, xf_out, emb, src_mask, cond_type,
+                             motion_length, num_intervals, train)
         return self.out(h).reshape(B, T_out, -1)
 
     def forward_test(self, h=None, src_mask=None, emb=None, xf_out=None,
@@ -209,8 +295,8 @@ class STMoGenTransformer(DiffusionTransformerBase):
         emb2 = jnp.concatenate([emb, emb], axis=0)
         mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
         ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
-        for block in self.temporal_decoder_blocks:
-            h2 = block(h2, xf2, emb2, mask2, all_cond, ml2, num_intervals, False)
+        h2 = self._run_blocks(h2, xf2, emb2, mask2, all_cond, ml2,
+                              num_intervals, False)
         out = self.out(h2).reshape(2 * B, T_out, -1)
         text_coef, none_coef = self.scale_func(timesteps[0])
         return out[:B] * text_coef + out[B:] * none_coef

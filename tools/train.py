@@ -30,6 +30,12 @@ def parse_args():
                    help="shard FFN/MoE weights over a 'tensor' mesh axis of "
                         "this size (Megatron-style; parallel/tp.py). "
                         "Single-host only for now")
+    p.add_argument("--pipeline-parallel", type=int, default=1,
+                   help="GPipe the decoder stack over a 'pipe' mesh axis of "
+                        "this size (parallel/pp.py); sets "
+                        "model.pipeline_axis. Mutually exclusive with "
+                        "--tensor-parallel/--multihost")
+    p.add_argument("--pipeline-microbatches", type=int, default=2)
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize + dcn mesh axis "
                         "(multi-slice / multi-host; the reference's "
@@ -85,7 +91,22 @@ def main():
     loader = build_dataloader(dataset, samples_per_gpu=cfg.data["samples_per_gpu"],
                               shuffle=True, seed=args.seed, dist=args.multihost,
                               workers_per_gpu=cfg.data.get("workers_per_gpu", 2))
-    if args.tensor_parallel > 1:
+    if args.pipeline_parallel > 1:
+        if args.multihost or args.tensor_parallel > 1:
+            raise SystemExit("--pipeline-parallel composes only with the "
+                             "data axis for now")
+        import jax
+        n = args.devices or len(jax.devices())
+        pp = args.pipeline_parallel
+        if n % pp:
+            raise SystemExit(f"--pipeline-parallel {pp} does not divide {n} devices")
+        if cfg.model["model"].get("type") != "STMoGenTransformer":
+            raise SystemExit("--pipeline-parallel is implemented for "
+                             "STMoGenTransformer decoder stacks")
+        mesh = create_mesh(n, axes=("data", "pipe"), shape=(n // pp, pp))
+        cfg.model["model"]["pipeline_axis"] = "pipe"
+        cfg.model["model"]["pipeline_microbatches"] = args.pipeline_microbatches
+    elif args.tensor_parallel > 1:
         if args.multihost:
             raise SystemExit("--tensor-parallel with --multihost is not "
                              "supported yet (tensor collectives must stay "
