@@ -42,8 +42,9 @@ class TestMotionDiffuse:
                               time_embed_dim=32),
             ffn_cfg=dict(latent_dim=16, ffn_dim=32, dropout=0, time_embed_dim=32)))
         args = batch_args()
-        v = m.init(jax.random.PRNGKey(0), **args, method="init_all")
-        out = m.apply(v, **args, method="init_all")
+        v = jax.jit(lambda a: m.init(jax.random.PRNGKey(0), **a,
+                                     method="init_all"))(args)
+        out = jax.jit(lambda v_, a: m.apply(v_, **a, method="init_all"))(v, args)
         assert out.shape == (B, T, D_IN)
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)  # zero-init out
 
@@ -144,6 +145,8 @@ class TestFineMoGen:
             scale_func_cfg=dict(scale=6.5))
         args = batch_args()
         args["motion"] = jnp.zeros((B, T, 263))
-        v = m.init(jax.random.PRNGKey(0), **args, method="init_all")
-        out = m.apply(v, **args, method="init_all")
+        # jit (persistent-cached): eager SAMI applies dominate wall-clock
+        v = jax.jit(lambda a: m.init(jax.random.PRNGKey(0), **a,
+                                     method="init_all"))(args)
+        out = jax.jit(lambda v_, a: m.apply(v_, **a, method="init_all"))(v, args)
         assert out.shape == (B, T, 263)

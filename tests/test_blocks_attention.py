@@ -368,6 +368,7 @@ def test_stma_linear_attention_kernel_parity():
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # opt-in (non-default) kernel, interpret-mode Pallas is slow on CPU
 def test_stma_module_kernel_parity(monkeypatch):
     """STMA with the fused attention kernel (forced, interpreted) equals the
     XLA concat path end-to-end."""

@@ -244,11 +244,13 @@ def test_controlnet_merged_forward_parity():
     variables = np_vars
     xf_flax = arch.encode_text(variables, batch["text_ids"])
     timesteps = np.full((B,), 499, np.int32)
-    out_flax = np.asarray(arch.model.apply(
-        variables, batch["motion"], timesteps,
-        motion_mask=batch["motion_mask"],
-        motion_length=batch["motion_length"], xf_out=xf_flax,
-        c=batch["c"], mode="test"))
+    # jit (persistent-cached): the eager flax apply dominates test wall-clock
+    out_flax = np.asarray(jax.jit(
+        lambda v, m_, t_, mask, ml, xf_, c_: arch.model.apply(
+            v, m_, t_, motion_mask=mask, motion_length=ml, xf_out=xf_,
+            c=c_, mode="test"))(
+        variables, batch["motion"], timesteps, batch["motion_mask"],
+        batch["motion_length"], xf_flax, batch["c"]))
 
     # ---- torch: load the SAME merged checkpoint into the re-statement
     model = TControlT2MHalf(m).eval()

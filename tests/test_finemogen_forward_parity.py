@@ -252,11 +252,13 @@ def test_finemogen_full_forward_parity(num_intervals):
     variables["params"] = params
     xf = arch.encode_text(variables, batch["text_ids"])
     timesteps = np.full((B,), 499, np.int32)
-    out_flax = np.asarray(arch.model.apply(
+    # jit (persistent-cached): the eager flax apply dominates test wall-clock
+    out_flax = np.asarray(jax.jit(
+        lambda v, m_, t_, mask, ml, xf_: arch.model.apply(
+            v, m_, t_, motion_mask=mask, motion_length=ml, xf_out=xf_,
+            num_intervals=num_intervals, mode="test"))(
         variables, batch["motion"], timesteps,
-        motion_mask=batch["motion_mask"],
-        motion_length=batch["motion_length"], xf_out=xf,
-        num_intervals=num_intervals, mode="test"))
+        batch["motion_mask"], batch["motion_length"], xf))
 
     model = TFineMoGen(m).eval()
     model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))

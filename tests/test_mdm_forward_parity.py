@@ -146,10 +146,13 @@ def test_mdm_full_forward_parity():
     variables["params"] = params
     xf = arch.model.apply(variables, batch["text_ids"], method="encode_text")
     timesteps = np.full((B,), 777, np.int32)
-    out_flax = np.asarray(arch.model.apply(
+    # jit (persistent-cached): the eager flax apply dominates test wall-clock
+    out_flax = np.asarray(jax.jit(
+        lambda v, m_, t_, mask, ml, xf_: arch.model.apply(
+            v, m_, t_, motion_mask=mask, motion_length=ml, xf_out=xf_,
+            mode="test"))(
         variables, batch["motion"], timesteps,
-        motion_mask=batch["motion_mask"],
-        motion_length=batch["motion_length"], xf_out=xf, mode="test"))
+        batch["motion_mask"], batch["motion_length"], xf))
 
     model = TMDM(m).eval()
     model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))

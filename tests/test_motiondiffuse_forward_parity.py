@@ -120,11 +120,13 @@ def test_motiondiffuse_full_forward_parity():
     xf_proj_flax, xf_flax = arch.model.apply(variables, batch["text_ids"],
                                              method="encode_text")
     timesteps = np.full((B,), 222, np.int32)
-    out_flax = np.asarray(arch.model.apply(
-        variables, batch["motion"], timesteps,
-        motion_mask=batch["motion_mask"],
-        motion_length=batch["motion_length"], xf_out=xf_flax,
-        xf_proj=xf_proj_flax, mode="test"))
+    # jit (persistent-cached): the eager flax apply dominates test wall-clock
+    out_flax = np.asarray(jax.jit(
+        lambda v, m_, t_, mask, ml, xf_, xp: arch.model.apply(
+            v, m_, t_, motion_mask=mask, motion_length=ml, xf_out=xf_,
+            xf_proj=xp, mode="test"))(
+        variables, batch["motion"], timesteps, batch["motion_mask"],
+        batch["motion_length"], xf_flax, xf_proj_flax))
 
     model = TMotionDiffuse(m).eval()
     model.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))

@@ -119,12 +119,18 @@ class TestSTMoGenPipeline:
                    if any(getattr(k, "key", None) == "aux_loss" for k in path))
 
     def _apply(self, arch, variables, motion, t, batch, xf, cond, rows):
-        out, state = arch.model.apply(
-            {"params": variables["params"]}, motion[rows], t[rows],
-            motion_mask=batch["motion_mask"][rows],
-            motion_length=batch["motion_length"][rows],
-            xf_out=xf[rows], cond_type=cond[rows],
-            mode="train", train=True, mutable=["losses"])
+        # jit + cache across the 8 per-group calls (same shapes): the eager
+        # flax apply otherwise dominates the test's wall-clock
+        jfwd = getattr(self, "_jfwd", None)
+        if jfwd is None:
+            jfwd = jax.jit(lambda p, m_, t_, mask, ml, xf_, c_: arch.model.apply(
+                {"params": p}, m_, t_, motion_mask=mask, motion_length=ml,
+                xf_out=xf_, cond_type=c_, mode="train", train=True,
+                mutable=["losses"]))
+            self._jfwd = jfwd
+        out, state = jfwd(variables["params"], motion[rows], t[rows],
+                          batch["motion_mask"][rows],
+                          batch["motion_length"][rows], xf[rows], cond[rows])
         return out, self._sum_aux(state.get("losses", {}))
 
     def test_forward_train_matches_per_microbatch_sequential(self, setup):

@@ -388,10 +388,13 @@ def _run_parity(cls, dual):
         variables, bank_motions, bank_mask, bank_text, R,
         method="encode_retrieval"))
     xf_flax = np.asarray(model.apply(variables, text_ids, method="encode_text"))
-    out_flax = np.asarray(model.apply(
-        variables, motion, timesteps, motion_mask=motion_mask,
-        motion_length=np.full((B, 1), T, np.int32), xf_out=xf_flax,
-        re_dict=re_flax, mode="test"))
+    # jit (persistent-cached): the eager flax apply dominates test wall-clock
+    out_flax = np.asarray(jax.jit(
+        lambda v, m_, t_, mask, ml, xf_, rd: model.apply(
+            v, m_, t_, motion_mask=mask, motion_length=ml, xf_out=xf_,
+            re_dict=rd, mode="test"))(
+        variables, motion, timesteps, motion_mask,
+        np.full((B, 1), T, np.int32), xf_flax, re_flax))
 
     tm = TReMo(m, dual=dual).eval()
     tm.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))

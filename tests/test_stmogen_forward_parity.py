@@ -486,10 +486,13 @@ def test_stmogen_full_forward_parity():
     variables["params"] = params
     xf_flax = arch.encode_text(variables, batch["text_ids"])
     timesteps = np.full((2,), 499, np.int32)
-    out_flax = np.asarray(arch.model.apply(
+    # jit (persistent-cached): the eager flax apply dominates test wall-clock
+    out_flax = np.asarray(jax.jit(
+        lambda v, m_, t_, mask, ml, xf_: arch.model.apply(
+            v, m_, t_, motion_mask=mask, motion_length=ml, xf_out=xf_,
+            mode="test"))(
         variables, batch["motion"], timesteps,
-        motion_mask=batch["motion_mask"],
-        motion_length=batch["motion_length"], xf_out=xf_flax, mode="test"))
+        batch["motion_mask"], batch["motion_length"], xf_flax))
 
     # ---- torch side: load the SAME checkpoint into the re-statement
     model = TSTMoGen(m).eval()

@@ -95,21 +95,27 @@ def tiny_arch_state():
     return arch, batch, jax.device_get(state)
 
 
-class TestTensorParallelTrainStep:
-    def _single_device(self, arch, batch, state0, rng):
-        step = make_train_step(arch)
-        mesh1 = create_mesh(1)
-        with jax.set_mesh(mesh1):
-            s1, logs1 = jax.jit(step,
-                                in_shardings=(replicated(mesh1),
-                                              batch_sharding(mesh1),
-                                              replicated(mesh1)),
-                                out_shardings=(replicated(mesh1),
-                                               replicated(mesh1)))(
-                state0, shard_batch(dict(batch), mesh1), rng)
-            return jax.device_get(s1), float(logs1["loss"])
+@pytest.fixture(scope="module")
+def single_device_ref(tiny_arch_state):
+    """Single-device train-step reference at PRNGKey(1), shared by the tp and
+    sp parity tests (one trace + run instead of two)."""
+    arch, batch, state0 = tiny_arch_state
+    step = make_train_step(arch)
+    mesh1 = create_mesh(1)
+    with jax.set_mesh(mesh1):
+        s1, logs1 = jax.jit(step,
+                            in_shardings=(replicated(mesh1),
+                                          batch_sharding(mesh1),
+                                          replicated(mesh1)),
+                            out_shardings=(replicated(mesh1),
+                                           replicated(mesh1)))(
+            state0, shard_batch(dict(batch), mesh1), jax.random.PRNGKey(1))
+        return jax.device_get(s1), float(logs1["loss"])
 
-    def test_tp_loss_and_update_match_single_device(self, tiny_arch_state):
+
+class TestTensorParallelTrainStep:
+    def test_tp_loss_and_update_match_single_device(self, tiny_arch_state,
+                                                    single_device_ref):
         arch, batch, state0 = tiny_arch_state
         rng = jax.random.PRNGKey(1)
         step = make_train_step(arch)
@@ -122,7 +128,7 @@ class TestTensorParallelTrainStep:
                 state0, shard_batch(dict(batch), mesh), rng)
             loss_tp = float(logs["loss"])
             s_tp = jax.device_get(s_tp)
-        s1, loss1 = self._single_device(arch, batch, state0, rng)
+        s1, loss1 = single_device_ref
         assert abs(loss_tp - loss1) < 1e-5 * max(1.0, abs(loss1))
         # tensor-sharded matmuls reorder the f32 contraction; adam's
         # m/(sqrt(v)+eps) amplifies the ~1e-7 grad noise at step 1
@@ -139,9 +145,10 @@ class TestTensorParallelTrainStep:
         E, d, f = w1.shape
         assert shard_shapes == {(E // 2, d, f // 2)}
 
-    def test_sequence_parallel_batch_matches(self, tiny_arch_state):
+    def test_sequence_parallel_batch_matches(self, tiny_arch_state,
+                                              single_device_ref):
         arch, batch, state0 = tiny_arch_state
-        rng = jax.random.PRNGKey(3)
+        rng = jax.random.PRNGKey(1)  # shared single_device_ref key
         step = make_train_step(arch)
         mesh = tp_mesh()
         with jax.set_mesh(mesh):
@@ -154,6 +161,6 @@ class TestTensorParallelTrainStep:
                 sp_batch, rng)
             loss_sp = float(logs["loss"])
             s_sp = jax.device_get(s_sp)
-        s1, loss1 = self._single_device(arch, batch, state0, rng)
+        s1, loss1 = single_device_ref
         assert abs(loss_sp - loss1) < 1e-5 * max(1.0, abs(loss1))
         assert tree_max_abs_diff(s_sp.params, s1.params) < 5e-5
