@@ -32,8 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--quick", action="store_true", help="small model + batch smoke run")
-    ap.add_argument("--dtype", choices=["f32", "bf16"], default="bf16",
-                    help="denoiser compute dtype (diffusion math stays f32)")
+    ap.add_argument("--dtype", choices=["f32", "bf16", "int8"], default="bf16",
+                    help="denoiser compute dtype (diffusion math stays f32); "
+                         "int8 = bf16 activations + W8A8 int8 weights on the "
+                         "audited hot path (ops/quant.py)")
     ap.add_argument("--no-s2g", action="store_true",
                     help="skip the long-form S2G windows/min secondary metric")
     args = ap.parse_args()
@@ -56,10 +58,13 @@ def main():
     variables = arch.init(rng, batch)
 
     compute_dtype = None
-    if args.dtype == "bf16":
+    if args.dtype in ("bf16", "int8"):
         from motioncraft_tpu.apis import bf16_cast_variables
         compute_dtype = jnp.bfloat16
         variables = bf16_cast_variables(variables)
+    if args.dtype == "int8":
+        from motioncraft_tpu.apis import int8_quantize_variables
+        variables = int8_quantize_variables(variables)
 
     sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
                                                      compute_dtype=compute_dtype))
@@ -109,15 +114,16 @@ def main():
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
     if not args.no_s2g and not args.quick:
+        int8 = args.dtype == "int8"
         try:
-            result["s2g_windows_per_min"] = round(bench_s2g_windows(), 2)
+            result["s2g_windows_per_min"] = round(bench_s2g_windows(int8=int8), 2)
         except Exception as e:  # secondary metric must never kill the bench
             print(f"bench: s2g secondary metric failed: {e}", file=sys.stderr)
         try:
             # lockstep-batched recordings (windowed_sample_batch, R=8):
             # window w of independent recordings shares one DDIM scan
             result["s2g_windows_per_min_batched8"] = round(
-                bench_s2g_windows(recording_batch=8), 2)
+                bench_s2g_windows(recording_batch=8, int8=int8), 2)
         except Exception as e:
             print(f"bench: batched s2g metric failed: {e}", file=sys.stderr)
     print(json.dumps(result))
@@ -165,7 +171,7 @@ def compute_mfu(arch, variables, batch, compute_dtype, sec_per_call):
 
 
 def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
-                      recording_batch=1):
+                      recording_batch=1, int8=False):
     """Long-form S2G throughput: RePaint-outpainted 64-frame windows over
     synthetic recordings (the reference protocol's hot loop,
     tools/s2g_test.py:120-260).  recording_batch=1 is the sequential
@@ -190,6 +196,9 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
     from motioncraft_tpu.apis import bf16_cast_variables
     variables = bf16_cast_variables(
         arch.init(jax.random.PRNGKey(0), make_window_batch(0, window)))
+    if int8:
+        from motioncraft_tpu.apis import int8_quantize_variables
+        variables = int8_quantize_variables(variables)
     repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
                             jump_n_sample=2)
     R = recording_batch

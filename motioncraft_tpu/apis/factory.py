@@ -92,6 +92,14 @@ def bf16_cast_variables(variables):
         else a, variables)
 
 
+def int8_quantize_variables(variables, **kwargs):
+    """Rewrite the audited denoiser hot-path weights to int8 (W8A8 dynamic
+    serving path — see ops/quant.py).  Apply AFTER ``bf16_cast_variables``
+    so the per-channel scales stay f32.  Opt-in, inference only."""
+    from ..ops.quant import quantize_variables
+    return quantize_variables(variables, **kwargs)
+
+
 def make_text_batch(texts, max_seq_len: int = 196, input_feats: int = 322,
                     motion: Optional[np.ndarray] = None,
                     lengths: Optional[np.ndarray] = None) -> dict:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .blocks import LayerNorm
+from .blocks import LayerNorm, QDense
 
 from ..ops.linear_attention import linear_attention_core
 from ..ops.pallas_attention import linear_attention
@@ -94,9 +94,9 @@ class EfficientSelfAttention(nn.Module):
         B, T, D = x.shape
         H = self.num_heads
         xn = LayerNorm(name="norm")(x).astype(x.dtype)
-        q_logits = nn.Dense(D, name="query")(xn)
-        k_logits = nn.Dense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
-        v = nn.Dense(D, name="value")(xn) * src_mask
+        q_logits = QDense(D, name="query")(xn)
+        k_logits = QDense(D, name="key")(xn) + (1 - src_mask) * NEG_INF
+        v = QDense(D, name="value")(xn) * src_mask
         if self.merged_lanes:
             qs = _group_softmax(q_logits, H)
             ks = jax.nn.softmax(k_logits, axis=1)  # per lane == per (h, d)
@@ -130,15 +130,15 @@ class EfficientCrossAttention(nn.Module):
         H = self.num_heads
         xn = LayerNorm(name="norm")(x).astype(x.dtype)
         tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
-        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
-        key = nn.Dense(D, name="key")(tn)
+        query = QDense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = QDense(D, name="key")(tn)
         if cond_type is None:
             key = key.reshape(B, N, H, -1)
-            value = nn.Dense(D, name="value")(tn).reshape(B, N, H, -1)
+            value = QDense(D, name="value")(tn).reshape(B, N, H, -1)
         else:
             tc = _text_cond_mask(cond_type, B)
             key = (key + (1 - tc) * NEG_INF).reshape(B, N, H, -1)
-            value = nn.Dense(D, name="value")(tn * tc).reshape(B, N, H, -1)
+            value = QDense(D, name="value")(tn * tc).reshape(B, N, H, -1)
         y = linear_attention(query, key, value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                     name="proj_out")(y, emb, train=train)
@@ -163,13 +163,13 @@ class EfficientMixedAttention(nn.Module):
         tc = _text_cond_mask(cond_type, B)
         sm = src_mask.reshape(B, T, 1)
         key = jnp.concatenate([
-            nn.Dense(D, name="key_text")(tn) + (1 - tc) * NEG_INF,
-            nn.Dense(D, name="key_motion")(xn) + (1 - sm) * NEG_INF,
+            QDense(D, name="key_text")(tn) + (1 - tc) * NEG_INF,
+            QDense(D, name="key_motion")(xn) + (1 - sm) * NEG_INF,
         ], axis=1)
-        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
+        query = QDense(D, name="query")(xn).reshape(B, T, H, -1)
         value = jnp.concatenate([
-            nn.Dense(D, name="value_text")(tn) * tc,
-            nn.Dense(D, name="value_motion")(xn) * sm,
+            QDense(D, name="value_text")(tn) * tc,
+            QDense(D, name="value_motion")(xn) * sm,
         ], axis=1).reshape(B, N, H, -1)
         if train and self.dropout > 0:
             q_soft = jax.nn.softmax(query, axis=-1)
@@ -194,12 +194,12 @@ class BaseSelfAttention(nn.Module):
         B, T, D = x.shape
         H = self.num_heads
         xn = LayerNorm(name="norm")(x).astype(x.dtype)
-        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
-        key = nn.Dense(D, name="key")(xn).reshape(B, T, H, -1)
+        query = QDense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = QDense(D, name="key")(xn).reshape(B, T, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
         attn = attn + (1 - src_mask.reshape(B, 1, T, 1)) * NEG_INF
         attn = jax.nn.softmax(attn, axis=2)
-        value = (nn.Dense(D, name="value")(xn) * src_mask).reshape(B, T, H, -1)
+        value = (QDense(D, name="value")(xn) * src_mask).reshape(B, T, H, -1)
         y = jnp.einsum("bnmh,bmhl->bnhl", attn, value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                     name="proj_out")(y, emb, train=train)
@@ -221,8 +221,8 @@ class BaseCrossAttention(nn.Module):
         H = self.num_heads
         xn = LayerNorm(name="norm")(x).astype(x.dtype)
         tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
-        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
-        key = nn.Dense(D, name="key")(tn).reshape(B, N, H, -1)
+        query = QDense(D, name="query")(xn).reshape(B, T, H, -1)
+        key = QDense(D, name="key")(tn).reshape(B, N, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
         if cond_type is None:
             tc = jnp.ones((B, 1, 1), jnp.float32)
@@ -230,7 +230,7 @@ class BaseCrossAttention(nn.Module):
             tc = _text_cond_mask(cond_type, B)
         attn = attn + (1 - tc.reshape(B, 1, 1, 1)) * NEG_INF
         attn = jax.nn.softmax(attn, axis=2)
-        value = (nn.Dense(D, name="value")(tn) * tc).reshape(B, N, H, -1)
+        value = (QDense(D, name="value")(tn) * tc).reshape(B, N, H, -1)
         y = jnp.einsum("bnmh,bmhl->bnhl", attn, value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
                                     name="proj_out")(y, emb, train=train)
@@ -253,10 +253,10 @@ class BaseMixedAttention(nn.Module):
         xn = LayerNorm(name="norm")(x).astype(x.dtype)
         tn = LayerNorm(name="text_norm")(xf).astype(xf.dtype)
         tc = _text_cond_mask(cond_type, B)
-        query = nn.Dense(D, name="query")(xn).reshape(B, T, H, -1)
+        query = QDense(D, name="query")(xn).reshape(B, T, H, -1)
         key = jnp.concatenate([
-            nn.Dense(D, name="key_text")(tn),
-            nn.Dense(D, name="key_motion")(xn),
+            QDense(D, name="key_text")(tn),
+            QDense(D, name="key_motion")(xn),
         ], axis=1).reshape(B, Nt + T, H, -1)
         attn = jnp.einsum("bnhl,bmhl->bnmh", query, key)
         mask = jnp.concatenate([
@@ -265,8 +265,8 @@ class BaseMixedAttention(nn.Module):
         ], axis=2)
         attn = jax.nn.softmax(attn + (1 - mask) * NEG_INF, axis=2)
         value = jnp.concatenate([
-            nn.Dense(D, name="value_text")(tn) * tc,
-            nn.Dense(D, name="value_motion")(xn) * src_mask.reshape(B, T, 1),
+            QDense(D, name="value_text")(tn) * tc,
+            QDense(D, name="value_motion")(xn) * src_mask.reshape(B, T, 1),
         ], axis=1).reshape(B, Nt + T, H, -1)
         y = jnp.einsum("bnmh,bmhl->bnhl", attn, value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
@@ -395,8 +395,8 @@ class _IntervalFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.ffn_dim, name="layers_0")(x)
-        return nn.Dense(self.out_dim, name="layers_2")(
+        h = QDense(self.ffn_dim, name="layers_0")(x)
+        return QDense(self.out_dim, name="layers_2")(
             nn.gelu(h, approximate=False))
 
 
@@ -546,21 +546,21 @@ class SemanticsModulatedAttention(nn.Module):
             [re_motion, jnp.broadcast_to(re_text, (B, R, Tr, D))], axis=-1
         ).reshape(B, R * Tr, 2 * D)
         key = jnp.concatenate([
-            nn.Dense(D, name="key_text")(tn) + (1 - text_cond) * NEG_INF,
-            nn.Dense(D, name="key_retr")(LayerNorm(name="retr_norm1")(re_feat_key).astype(re_feat_key.dtype))
+            QDense(D, name="key_text")(tn) + (1 - text_cond) * NEG_INF,
+            QDense(D, name="key_retr")(LayerNorm(name="retr_norm1")(re_feat_key).astype(re_feat_key.dtype))
             + (1 - retr_cond) * NEG_INF + (1 - re_mask) * NEG_INF,
-            nn.Dense(D, name="key_motion")(xn) + (1 - src_mask) * NEG_INF,
+            QDense(D, name="key_motion")(xn) + (1 - src_mask) * NEG_INF,
         ], axis=1)
-        query = jax.nn.softmax(nn.Dense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
+        query = jax.nn.softmax(QDense(D, name="query")(xn).reshape(B, T, H, -1), axis=-1)
         key = jax.nn.softmax(key.reshape(B, N, H, -1), axis=1)
 
         re_feat_value = re_motion.reshape(B, R * Tr, D)
         from .blocks import ZeroDense
         value = jnp.concatenate([
-            nn.Dense(D, name="value_text")(tn) * text_cond,
+            QDense(D, name="value_text")(tn) * text_cond,
             ZeroDense(D, name="value_retr")(LayerNorm(name="retr_norm2")(re_feat_value).astype(re_feat_value.dtype))
             * retr_cond * re_mask,
-            nn.Dense(D, name="value_motion")(xn) * src_mask,
+            QDense(D, name="value_motion")(xn) * src_mask,
         ], axis=1).reshape(B, N, H, -1)
         y = linear_attention_core(query, key, value).reshape(B, T, D)
         return x + StylizationBlock(D, self.time_embed_dim, self.dropout,
@@ -596,14 +596,14 @@ class DualSemanticsModulatedAttention(nn.Module):
         text_cond = ((cond_type % 10) > 0).astype(x.dtype)
         retr_cond = ((cond_type // 10) > 0).astype(x.dtype)
 
-        q_proj = nn.Dense(D, name="query")
-        k_text = nn.Dense(D, name="key_text")
-        v_text = nn.Dense(D, name="value_text")
-        k_motion = nn.Dense(D, name="key_motion")
-        v_motion = nn.Dense(D, name="value_motion")
-        k_inter = nn.Dense(D, name="key_inter")
-        v_inter = nn.Dense(D, name="value_inter")
-        k_retr = nn.Dense(D, name="key_retr")
+        q_proj = QDense(D, name="query")
+        k_text = QDense(D, name="key_text")
+        v_text = QDense(D, name="value_text")
+        k_motion = QDense(D, name="key_motion")
+        v_motion = QDense(D, name="value_motion")
+        k_inter = QDense(D, name="key_inter")
+        v_inter = QDense(D, name="value_inter")
+        k_retr = QDense(D, name="key_retr")
         from .blocks import ZeroDense
         v_retr = ZeroDense(D, name="value_retr")
         retr_n1 = LayerNorm(name="retr_norm1")

@@ -17,7 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..registry import ATTENTIONS, SUBMODULES
-from .blocks import FFN, ZeroDense, timestep_embedding
+from .blocks import FFN, QDense, ZeroDense, timestep_embedding
 from .diffusion_transformer import DiffusionTransformerBase, GenericDecoderLayer
 from .stmogen import STMoGenTransformer
 from .text_encoder import ClipTextModel, PostLNEncoderLayer
@@ -103,15 +103,15 @@ class MDMTransformer(nn.Module):
     init_cfg: Optional[dict] = None
 
     def setup(self):
-        self.poseEmbedding = nn.Dense(self.latent_dim)
+        self.poseEmbedding = QDense(self.latent_dim)
         self.layers = [PostLNEncoderLayer(self.latent_dim, self.num_heads,
                                           self.ff_size, self.dropout, self.activation,
                                           name=f"layer_{i}")
                        for i in range(self.num_layers)]
         self.time_embed = nn.Sequential([
-            nn.Dense(self.latent_dim), nn.silu, nn.Dense(self.latent_dim)])
-        self.embed_text = nn.Dense(self.latent_dim)
-        self.poseFinal = nn.Dense(self.input_feats)
+            QDense(self.latent_dim), nn.silu, QDense(self.latent_dim)])
+        self.embed_text = QDense(self.latent_dim)
+        self.poseFinal = QDense(self.input_feats)
         self.clip = ClipTextModel(width=self.clip_dim, layers=self.clip_layers,
                                   heads=max(1, self.clip_dim // 64),
                                   embed_dim=self.clip_dim)
@@ -246,13 +246,13 @@ class RetrievalEncoder(nn.Module):
         B = BR // num_retrieval
         pos = self.param("motion_pos_embedding", nn.initializers.normal(1.0),
                          (self.max_seq_len, self.latent_dim))
-        re_motion = nn.Dense(self.latent_dim, name="motion_proj")(motions) + pos[None, :T]
+        re_motion = QDense(self.latent_dim, name="motion_proj")(motions) + pos[None, :T]
         for i in range(self.num_motion_layers):
             re_motion = ATTENTIONS.build(self.sa_block_cfg, name=f"motion_sa_{i}")(
                 re_motion, src_mask=mask[..., None])
             ffn_cfg = {k: v for k, v in dict(self.ffn_cfg or {}).items()
                        if k not in ("num_heads", "time_embed_dim")}
-            h = nn.Dense(ffn_cfg.get("ffn_dim", 1024), name=f"motion_ffn1_{i}")(re_motion)
+            h = QDense(ffn_cfg.get("ffn_dim", 1024), name=f"motion_ffn1_{i}")(re_motion)
             re_motion = re_motion + ZeroDense(self.latent_dim, name=f"motion_ffn2_{i}")(
                 nn.gelu(h, approximate=False))
         re_motion = re_motion.reshape(B, num_retrieval, T, -1)[:, :, ::self.stride]

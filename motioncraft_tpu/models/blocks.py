@@ -50,6 +50,35 @@ zeros_init = nn.initializers.zeros
 normal_init = nn.initializers.normal(stddev=1.0)
 
 
+class QDense(nn.Dense):
+    """nn.Dense that runs the int8 W8A8 path when its kernel has been
+    rewritten to int8 by ``ops.quant.quantize_variables`` (per-out-channel
+    scale read from the parallel 'quant' collection).  Bit-identical to
+    nn.Dense for float kernels; used at every denoiser hot-path call site
+    so inference weights can be served quantized (see ops/quant.py)."""
+
+    @nn.compact
+    def __call__(self, inputs):
+        kernel = self.param("kernel", self.kernel_init,
+                            (jnp.shape(inputs)[-1], self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        if kernel.dtype == jnp.int8:
+            from ..ops.quant import qdot
+            scale = self.get_variable("quant", "kernel_scale")
+            y = qdot(inputs, kernel, scale)
+            return y + bias.astype(y.dtype) if bias is not None else y
+        inputs, kernel, bias = nn.dtypes.promote_dtype(
+            inputs, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(inputs, kernel,
+                                (((inputs.ndim - 1,), (0,)), ((), ())),
+                                precision=self.precision)
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
     """Sinusoidal timestep embedding; cos first then sin, as the reference."""
     half = dim // 2
@@ -68,7 +97,7 @@ class ZeroDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.features, kernel_init=zeros_init, bias_init=zeros_init,
+        return QDense(self.features, kernel_init=zeros_init, bias_init=zeros_init,
                         name="linear")(x)
 
 
@@ -82,7 +111,7 @@ class StylizationBlock(nn.Module):
     @nn.compact
     def __call__(self, h, emb, train: bool = False):
         # emb: [B, time_embed_dim] -> [B, 1, 2*latent]
-        emb_out = nn.Dense(2 * self.latent_dim, name="emb_layers")(nn.silu(emb))[:, None, :]
+        emb_out = QDense(2 * self.latent_dim, name="emb_layers")(nn.silu(emb))[:, None, :]
         scale, shift = jnp.split(emb_out, 2, axis=-1)
         h = LayerNorm(name="norm")(h).astype(h.dtype) * (1 + scale) + shift
         h = nn.silu(h)
@@ -101,7 +130,7 @@ class FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False, **kwargs):
-        y = nn.Dense(self.ffn_dim, name="linear1")(x)
+        y = QDense(self.ffn_dim, name="linear1")(x)
         y = nn.Dropout(self.dropout)(nn.gelu(y, approximate=False), deterministic=not train)
         y = ZeroDense(self.latent_dim, name="linear2")(y)
         y = x + StylizationBlock(self.latent_dim, self.time_embed_dim, self.dropout,
@@ -132,7 +161,19 @@ class SFFN(nn.Module):
         b1 = self.param("b1", zeros_init, (H, f))
         w2 = self.param("w2", nn.initializers.lecun_normal(), (H, f, d))
         b2 = self.param("b2", zeros_init, (H, d))
-        if _use_pallas_sffn(train, B * T, d, f):
+        if w1.dtype == jnp.int8:
+            # quantized serving path (ops/quant.py): per-(head, out-channel)
+            # weight scales, dynamic per-row activation scales, int8 MXU dots
+            from ..ops.quant import qeinsum
+            # scales stored [H, 1, out]; squeeze the contraction axis so they
+            # broadcast against the [B, T, H, out] einsum output
+            s1 = self.get_variable("quant", "w1_scale").squeeze(1)  # [H, f]
+            s2 = self.get_variable("quant", "w2_scale").squeeze(1)  # [H, d]
+            y = qeinsum("bthd,hdf->bthf", xh, w1, s1) + b1.astype(x.dtype)
+            y = nn.gelu(y, approximate=False)
+            y = qeinsum("bthf,hfd->bthd", y, w2, s2) + b2.astype(x.dtype)
+            y = y.reshape(B, T, D)
+        elif _use_pallas_sffn(train, B * T, d, f):
             # fused block-diagonal kernel: hidden stays in VMEM instead of a
             # [B, T, H, f] HBM round trip (see ops/pallas_sffn.py)
             from ..ops.pallas_sffn import head_ffn

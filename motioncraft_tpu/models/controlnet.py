@@ -25,7 +25,8 @@ from flax import linen as nn
 
 from ..registry import SUBMODULES
 from .baselines import MCMDecoderLayer
-from .blocks import PatchEmbed1D, WavEncoder, ZeroDense, timestep_embedding
+from .blocks import (PatchEmbed1D, QDense, WavEncoder, ZeroDense,
+                     timestep_embedding)
 from .stmogen import STMoGenDecoderLayer, STMoGenTransformer
 
 
@@ -42,7 +43,7 @@ class ControlT2MBlock(nn.Module):
     @nn.compact
     def __call__(self, x, c, **kwargs):
         if self.block_index == 0:
-            c = nn.Dense(self.latent_dim, kernel_init=nn.initializers.zeros,
+            c = QDense(self.latent_dim, kernel_init=nn.initializers.zeros,
                          bias_init=nn.initializers.zeros, name="before_proj")(c)
             inp = x + c
         else:

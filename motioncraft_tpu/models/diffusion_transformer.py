@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..registry import ATTENTIONS
-from .blocks import FFN, ZeroDense, timestep_embedding
+from .blocks import FFN, QDense, ZeroDense, timestep_embedding
 from .text_encoder import TextEncoder
 
 
@@ -77,13 +77,13 @@ class DiffusionTransformerBase(nn.Module):
         if self.time_embedding_type == "learnable":
             self.time_tokens = nn.Embed(1000, self.latent_dim)
         self.time_embed = nn.Sequential([
-            nn.Dense(self.time_embed_dim), nn.silu, nn.Dense(self.time_embed_dim)])
+            QDense(self.time_embed_dim), nn.silu, QDense(self.time_embed_dim)])
         self.setup_io()
         self.temporal_decoder_blocks = self.build_temporal_blocks()
 
     def setup_io(self):
         """Default joint embed / zero-init output (overridable)."""
-        self.joint_embed = nn.Dense(self.latent_dim)
+        self.joint_embed = QDense(self.latent_dim)
         self.out = ZeroDense(self.input_feats)
 
     def build_temporal_blocks(self) -> List[nn.Module]:

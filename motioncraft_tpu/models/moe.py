@@ -31,7 +31,7 @@ _ENV_FUSED = os.environ.get("MOTIONCRAFT_MOE_FUSED")
 
 from ..ops.pallas_ffn import expert_ffn
 from ..ops.pallas_moe import moe_positions_counts
-from .blocks import zeros_init
+from .blocks import QDense, zeros_init
 
 
 def _normal_cdf(x, sigma):
@@ -67,7 +67,7 @@ class CosineTopGate(nn.Module):
         sim_matrix = self.param("sim_matrix",
                                 lambda k, s: jax.random.normal(k, s) * 0.005,
                                 (self.proj_dim, self.num_experts))
-        proj = nn.Dense(self.proj_dim, name="cosine_projector")(x.astype(jnp.float32))
+        proj = QDense(self.proj_dim, name="cosine_projector")(x.astype(jnp.float32))
         proj = proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-12)
         sim = sim_matrix / (jnp.linalg.norm(sim_matrix, axis=0, keepdims=True) + 1e-12)
         logit_scale = jnp.exp(jnp.clip(temperature, max=math.log(100.0)))
@@ -79,7 +79,7 @@ class LinearTopGate(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.num_experts, use_bias=False, name="wg")(x.astype(jnp.float32))
+        return QDense(self.num_experts, use_bias=False, name="wg")(x.astype(jnp.float32))
 
 
 class MoELayer(nn.Module):
@@ -193,7 +193,12 @@ class MoELayer(nn.Module):
 
         token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                                      (N, K)).reshape(-1)
-        if self._use_ragged(train):
+        # int8-quantized expert weights (ops/quant.py) run through the slot
+        # path: lax.ragged_dot has no int8 overload and the Pallas grouped
+        # kernel is float-only, but the [E, C, D] einsum pair maps directly
+        # onto the MXU's native int8 path
+        is_q = w1.dtype == jnp.int8
+        if self._use_ragged(train) and not is_q:
             # Rank-compact dispatch (megablocks-style): the kept (token, k)
             # choices occupy M = K*N rows sorted by expert
             # (rank = offset[e] + position).  Same capacity-drop semantics
@@ -284,8 +289,14 @@ class MoELayer(nn.Module):
                 slots_flat].set(True, unique_indices=True, mode="drop")
             xe_flat = jnp.where(slot_filled[:-1, None], x[token_for_slot[:-1]], 0)
             xe = xe_flat.reshape(E, capacity, D)
-            ye = expert_ffn(xe, w1, b1, w2, b2,
-                            use_pallas="never" if self.expert_axis else "auto")
+            if is_q:
+                from ..ops.quant import expert_ffn_q
+                s1 = self.get_variable("quant", "expert_w1_scale")
+                s2 = self.get_variable("quant", "expert_w2_scale")
+                ye = expert_ffn_q(xe, w1, s1, b1, w2, s2, b2)
+            else:
+                ye = expert_ffn(xe, w1, b1, w2, b2,
+                                use_pallas="never" if self.expert_axis else "auto")
             ye_flat = jnp.concatenate([ye.reshape(E * capacity, D),
                                        jnp.zeros((1, D), x.dtype)], axis=0)
             y = jnp.einsum("nk,nkd->nd", gates.astype(x.dtype), ye_flat[slots])
@@ -324,5 +335,5 @@ class MOE(nn.Module):
         y, l_aux = MoELayer(self.num_experts, self.topk, self.input_dim, self.ffn_dim,
                             gate_type=self.gate_type, gate_noise=self.gate_noise,
                             expert_axis=self.expert_axis, name="model")(flat, train=train)
-        y = nn.Dense(self.output_dim, name="proj")(nn.gelu(y, approximate=False))
+        y = QDense(self.output_dim, name="proj")(nn.gelu(y, approximate=False))
         return y.reshape(B, T, H, -1), l_aux

@@ -21,7 +21,8 @@ from flax import linen as nn
 
 from ..registry import ATTENTIONS, SUBMODULES
 from . import body_layout
-from .blocks import SFFN, PatchEmbed1D, timestep_embedding, unpatchify, zeros_init
+from .blocks import (SFFN, PatchEmbed1D, QDense, timestep_embedding,
+                     unpatchify, zeros_init)
 from .diffusion_transformer import DiffusionTransformerBase
 
 
@@ -68,9 +69,9 @@ class PoseEncoder(nn.Module):
             slices = body_layout.joint_slices(self.dataset_name)
             body = body_layout.joints_body_slice(self.dataset_name)
             for i, sl in enumerate(slices):
-                feats.append(nn.Dense(self.latent_dim, name=f"joint_{i}")(
+                feats.append(QDense(self.latent_dim, name=f"joint_{i}")(
                     jnp.take(motion, jnp.asarray(sl), axis=-1)))
-            feats.append(nn.Dense(self.latent_dim, name="body_embed")(
+            feats.append(QDense(self.latent_dim, name="body_embed")(
                 jnp.take(motion, jnp.asarray(body), axis=-1)))
             parts_num = len(slices) + 1
         else:
@@ -83,13 +84,13 @@ class PoseEncoder(nn.Module):
                     feats.append(PatchEmbed1D(self.patch_size, self.latent_dim,
                                               name=f"{name}_embed")(x_part))
                 else:
-                    feats.append(nn.Dense(self.latent_dim, name=f"{name}_embed")(x_part))
+                    feats.append(QDense(self.latent_dim, name=f"{name}_embed")(x_part))
             x_body = jnp.take(motion, jnp.asarray(body), axis=-1)
             if self.patch_size > 1:
                 feats.append(PatchEmbed1D(self.patch_size, self.latent_dim,
                                           name="body_embed")(x_body))
             else:
-                feats.append(nn.Dense(self.latent_dim, name="body_embed")(x_body))
+                feats.append(QDense(self.latent_dim, name="body_embed")(x_body))
             parts_num = len(parts) + 1
         feat = jnp.concatenate(feats, axis=-1)
         if self.body_graph:
@@ -130,11 +131,11 @@ class PoseDecoder(nn.Module):
             name = (f"joint_{i}" if self.joints
                     else f"{list(body_layout.part_slices(self.dataset_name))[i]}_out")
             h = motion[:, :, i * D:(i + 1) * D]
-            y = nn.Dense(self.patch_size * len(sl), name=name, **zero)(h)
+            y = QDense(self.patch_size * len(sl), name=name, **zero)(h)
             part_outs.append(unpatchify(y, self.patch_size))
         scattered = jnp.take(jnp.concatenate(part_outs, axis=-1), inv, axis=-1)
 
-        body = nn.Dense(self.patch_size * self.output_dim, name="body_out", **zero)(
+        body = QDense(self.patch_size * self.output_dim, name="body_out", **zero)(
             motion[:, :, len(slices) * D:])
         body = unpatchify(body, self.patch_size)
         return (scattered + body) / 2.0

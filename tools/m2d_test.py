@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--no_repaint", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 W8A8 denoiser weights (ops/quant.py); "
+                        "combine with --bf16 for bf16 activations")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute in the windowed sampler "
                         "(params cast + compute_dtype; metrics math stays f32)")
@@ -112,6 +115,12 @@ def main():
     if args.bf16:
         from motioncraft_tpu.apis import bf16_cast_variables
         variables = bf16_cast_variables(variables)
+    if args.int8:
+        from motioncraft_tpu.apis import int8_quantize_variables
+        variables = int8_quantize_variables(variables)
+        from motioncraft_tpu.ops.quant import count_quantized
+        _n, _e = count_quantized(variables)
+        print(f"int8: quantized {_n} weights ({_e / 1e6:.1f}M params)")
 
     cdt = jnp.bfloat16 if args.bf16 else None
     kw = dict(window=window, pre_frames=pre, use_repaint=not args.no_repaint,
@@ -185,8 +194,10 @@ def main():
     flags = {
         "untrained_evaluator": not getattr(ev, "pretrained_loaded", False),
         "hash_tokenizer": find_bpe_asset() is None,
+        "int8_weights": bool(args.int8),
     }
-    metrics["protocol"] = not any(flags.values())
+    metrics["protocol"] = not any(
+        v for k, v in flags.items() if k != "int8_weights")
     metrics["flags"] = flags
     if not metrics["protocol"]:
         print("WARNING: run is NOT protocol-comparable:", flags)

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None,
                    help="evaluate only the first N results (smoke runs)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 W8A8 denoiser weights on the audited hot path "
+                        "(ops/quant.py; combine with --bf16 for bf16 "
+                        "activations)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute (params cast + compute_dtype; "
                         "diffusion schedule and metric math stay f32)")
@@ -92,6 +96,12 @@ def main():
         if args.bf16:
             from motioncraft_tpu.apis import bf16_cast_variables
             variables = bf16_cast_variables(variables)
+        if args.int8:
+            from motioncraft_tpu.apis import int8_quantize_variables
+            variables = int8_quantize_variables(variables)
+            from motioncraft_tpu.ops.quant import count_quantized
+            _n, _e = count_quantized(variables)
+            print(f"int8: quantized {_n} weights ({_e / 1e6:.1f}M params)")
     cdt = jnp.bfloat16 if args.bf16 else None
 
     from motioncraft_tpu.apis.test import multi_host_test, single_device_test
@@ -118,8 +128,10 @@ def main():
     flags = {
         "untrained_evaluator": not getattr(ev, "pretrained_loaded", False),
         "hash_tokenizer": find_bpe_asset() is None,
+        "int8_weights": bool(args.int8),
     }
-    out["protocol"] = not any(flags.values())
+    out["protocol"] = not any(
+        v for k, v in flags.items() if k != "int8_weights")
     out["flags"] = flags
     if not out["protocol"]:
         print("WARNING: run is NOT protocol-comparable:", flags)
