@@ -63,7 +63,8 @@ def device_prefetch(batch_iter, mesh, depth: int = 2):
         yield item
 
 
-def make_train_step(arch, fp16: Optional[dict] = None) -> Callable:
+def make_train_step(arch, fp16: Optional[dict] = None,
+                    grad_accum: int = 1) -> Callable:
     """Pure (state, batch, rng) -> (state, logs) step for jit/pjit.
 
     ``fp16`` mirrors the reference's mmcv Fp16OptimizerHook option
@@ -72,6 +73,14 @@ def make_train_step(arch, fp16: Optional[dict] = None) -> Callable:
     half type is bfloat16 (``dtype`` key, default 'bfloat16'), whose range
     makes the hook's loss scaling unnecessary — a static ``loss_scale`` is
     still honored for parity when requested.
+
+    ``grad_accum`` > 1 splits the batch into that many microbatches and runs
+    them through a ``lax.scan``, accumulating f32 gradients before the single
+    optimizer update (mmcv's ``cumulative_iters``, done the XLA way: peak
+    activation memory drops to ~1/N while the MXU still sees the per-micro
+    matmul shapes).  This is how the reference recipe's global batch 128
+    fits a 16 GB v5e chip without remat.  The per-sample log vectors keep
+    input order, so the loss-aware sampler feedback is unaffected.
     """
     compute_dtype = None
     loss_scale = 1.0
@@ -80,7 +89,7 @@ def make_train_step(arch, fp16: Optional[dict] = None) -> Callable:
         ls = fp16.get("loss_scale", 1.0)
         loss_scale = float(ls) if not isinstance(ls, str) else 1.0
 
-    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+    def grads_and_logs(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         def loss_fn(params):
             if compute_dtype is not None:
                 params = jax.tree_util.tree_map(
@@ -92,18 +101,60 @@ def make_train_step(arch, fp16: Optional[dict] = None) -> Callable:
             loss, logs = arch.loss(variables, batch, rng)
             return jnp.asarray(loss, jnp.float32) * loss_scale, logs
 
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if loss_scale != 1.0:
             grads = jax.tree_util.tree_map(lambda g: g / loss_scale, grads)
+        return grads, logs
+
+    def finish(state, grads, scalars, logs):
         new_state = state.apply_gradients(grads)
-        scalars = {k: v for k, v in logs.items()
-                   if hasattr(v, "ndim") and v.ndim == 0}
         # per-sample vectors for the loss-aware timestep sampler
         scalars["_timesteps"] = logs.get("timesteps")
         scalars["_loss_batch"] = logs.get("recon_loss_batch")
         return new_state, scalars
 
-    return train_step
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        grads, logs = grads_and_logs(state, batch, rng)
+        scalars = {k: v for k, v in logs.items()
+                   if hasattr(v, "ndim") and v.ndim == 0}
+        return finish(state, grads, scalars, logs)
+
+    def train_step_accum(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        N = grad_accum
+        sizes = {v.shape[0] for v in batch.values() if hasattr(v, "shape") and v.ndim}
+        B = max(sizes)
+        if B % N:
+            raise ValueError(f"grad_accum={N} must divide the batch size {B}")
+        micro = jax.tree_util.tree_map(
+            lambda v: v.reshape((N, B // N) + v.shape[1:])
+            if hasattr(v, "shape") and v.ndim and v.shape[0] == B else
+            jnp.broadcast_to(v, (N,) + jnp.shape(v)), batch)
+        rngs = jax.random.split(rng, N)
+
+        def body(acc, mb_rng):
+            mb, r = mb_rng
+            grads, logs = grads_and_logs(state, mb, r)
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), acc, grads)
+            scalars = {k: jnp.asarray(v, jnp.float32) for k, v in logs.items()
+                       if hasattr(v, "ndim") and v.ndim == 0}
+            vectors = {"_timesteps": logs.get("timesteps"),
+                       "_loss_batch": logs.get("recon_loss_batch")}
+            return acc, (scalars, vectors)
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        acc, (scalars, vectors) = jax.lax.scan(body, zeros, (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / N, acc)
+        scalars = {k: jnp.mean(v) for k, v in scalars.items()}
+        # scan stacked [N, B/N] in input order; flatten back to [B]
+        logs = {k: (v.reshape((B,) + v.shape[2:]) if v is not None else None)
+                for k, v in vectors.items()}
+        return finish(state, grads, scalars,
+                      {"timesteps": logs["_timesteps"],
+                       "recon_loss_batch": logs["_loss_batch"]})
+
+    return train_step_accum if grad_accum > 1 else train_step
 
 
 def train_model(arch,
@@ -124,7 +175,8 @@ def train_model(arch,
                 frozen_prefixes=("text_enc/clip",),
                 resume_dir: Optional[str] = None,
                 variables_transform: Optional[Callable] = None,
-                fp16: Optional[dict] = None):
+                fp16: Optional[dict] = None,
+                grad_accum: int = 1):
     """Config-driven loop: Adam + step decay, per-epoch checkpoint/eval hooks
     (reference recipe at configs/stmogen/...0_125b.py:13-24)."""
     rng = set_random_seed(seed)
@@ -159,7 +211,7 @@ def train_model(arch,
     # the per-step rng is fold_in of a traced step index INSIDE the jit: an
     # eager jax.random.split per step is a blocking RPC on remote-runtime
     # TPUs (see apis/windowed.py for the measured cost of eager carries)
-    base_step = make_train_step(arch, fp16=fp16)
+    base_step = make_train_step(arch, fp16=fp16, grad_accum=grad_accum)
     from ..parallel import TENSOR_AXIS
     if TENSOR_AXIS in mesh.axis_names and mesh.shape[TENSOR_AXIS] > 1:
         # tensor-parallel weight layout (parallel/tp.py): params + adam

@@ -1,0 +1,218 @@
+"""Production serving: dynamic request batching over bucketed static shapes.
+
+The reference ships research CLIs only (tools/visualize.py renders one
+prompt per process run); it has no serving story.  This is a TPU-native
+deployment layer over the same sampling path:
+
+- requests (text, motion length, optional condition) enter a queue;
+- a dispatcher thread groups up to the largest batch bucket, waiting at most
+  ``max_wait_ms`` after the first arrival (classic dynamic batching —
+  latency-bounded, throughput-greedy);
+- each group is padded up to the nearest *batch bucket* so every dispatch
+  hits a pre-compiled executable: XLA traces once per bucket (static
+  shapes), never per request;
+- one jitted CFG-DDIM sample serves the whole group; outputs are sliced to
+  each request's length, denormalized when stats are configured, and the
+  per-request futures are fulfilled.
+
+Determinism: a dispatch uses ``fold_in(base_seed, dispatch_index)``, so a
+given (group composition, dispatch index) pair is reproducible; individual
+requests are not bit-stable across different groupings (the batch shares
+one noise tensor) — same trade every dynamic batcher makes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    text: str
+    length: int
+    future: Future = field(default_factory=Future)
+    t_enqueue: float = field(default_factory=time.monotonic)
+
+
+_STOP = object()
+
+
+class MotionGenServer:
+    """Dynamic-batching text-to-motion server over ``arch.sample``.
+
+    Parameters
+    ----------
+    arch, variables: a built architecture (registry.build_architecture) and
+        its (possibly bf16-cast / int8-quantized) variables.
+    batch_buckets: ascending static batch sizes to compile; a group of n
+        requests is padded to the smallest bucket >= n.
+    max_wait_ms: how long the dispatcher holds an underfull group open after
+        the first request arrives.
+    mean, std: optional normalization stats — outputs are denormalized to
+        the dataset's native units (tools/visualize.py:98-100).
+    compute_dtype: e.g. jnp.bfloat16 for bf16 denoiser compute.
+    """
+
+    def __init__(self, arch, variables, *, max_seq_len: int = 196,
+                 input_feats: int = 322,
+                 batch_buckets: Sequence[int] = (1, 2, 4, 8),
+                 max_wait_ms: float = 20.0, seed: int = 0,
+                 compute_dtype=None, mean: Optional[np.ndarray] = None,
+                 std: Optional[np.ndarray] = None):
+        if list(batch_buckets) != sorted(set(int(b) for b in batch_buckets)):
+            raise ValueError("batch_buckets must be ascending and unique")
+        self._arch = arch
+        self._variables = variables
+        self._max_seq_len = int(max_seq_len)
+        self._input_feats = int(input_feats)
+        self._buckets = [int(b) for b in batch_buckets]
+        self._max_wait_s = float(max_wait_ms) / 1e3
+        self._rng = jax.random.PRNGKey(seed)
+        self._mean = None if mean is None else np.asarray(mean, np.float32)
+        self._std = None if std is None else np.asarray(std, np.float32)
+        self._sample = jax.jit(
+            lambda v, b, r: arch.sample(v, b, r, compute_dtype=compute_dtype))
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._dispatches = 0
+        self._requests = 0
+        self._request_rows = 0  # sum of group sizes (occupancy numerator)
+        self._padded_rows = 0
+        self._latencies: list = []  # bounded; seconds enqueue->fulfil
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self):
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._loop, daemon=True)
+                self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 30.0):
+        t = self._thread
+        if t is not None and t.is_alive():
+            self._q.put(_STOP)
+            t.join(timeout)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None):
+        """Pre-compile the sample executable for each bucket (first TPU
+        compile is minutes through a cold cache; do it before traffic)."""
+        from ..apis.factory import make_text_batch
+        for b in buckets or self._buckets:
+            batch = make_text_batch(["warmup"] * b, self._max_seq_len,
+                                    self._input_feats)
+            jax.block_until_ready(
+                self._sample(self._variables, batch, self._rng))
+        return self
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, text: str, length: Optional[int] = None) -> Future:
+        """Enqueue one request; resolves to a [length, input_feats] f32
+        array (denormalized when stats are configured)."""
+        length = self._max_seq_len if length is None else int(length)
+        if not 0 < length <= self._max_seq_len:
+            raise ValueError(
+                f"length {length} outside (0, {self._max_seq_len}]")
+        self.start()
+        req = _Pending(str(text), length)
+        self._q.put(req)
+        return req.future
+
+    def generate(self, texts: Sequence[str],
+                 lengths: Optional[Sequence[int]] = None) -> list:
+        """Synchronous convenience: submit all, wait for all."""
+        lengths = lengths or [None] * len(texts)
+        futures = [self.submit(t, l) for t, l in zip(texts, lengths)]
+        return [f.result() for f in futures]
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            n = len(lat)
+            return {
+                "requests": self._requests,
+                "dispatches": self._dispatches,
+                "mean_occupancy": (self._request_rows / self._dispatches
+                                   if self._dispatches else 0.0),
+                "padding_fraction": (self._padded_rows /
+                                     max(1, self._request_rows + self._padded_rows)),
+                "latency_p50_s": lat[n // 2] if n else None,
+                "latency_p95_s": lat[min(n - 1, int(n * 0.95))] if n else None,
+            }
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _loop(self):
+        max_bucket = self._buckets[-1]
+        while True:
+            first = self._q.get()
+            if first is _STOP:
+                return
+            group = [first]
+            deadline = time.monotonic() + self._max_wait_s
+            stop_after = False
+            while len(group) < max_bucket:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=rem)
+                except queue.Empty:
+                    break
+                if item is _STOP:
+                    stop_after = True
+                    break
+                group.append(item)
+            self._dispatch(group)
+            if stop_after:
+                return
+
+    def _dispatch(self, group):
+        from ..apis.factory import make_text_batch
+        try:
+            bucket = next(b for b in self._buckets if b >= len(group))
+            pad = bucket - len(group)
+            texts = [g.text for g in group] + [group[-1].text] * pad
+            lengths = np.asarray([g.length for g in group]
+                                 + [group[-1].length] * pad,
+                                 np.int32)[:, None]
+            batch = make_text_batch(texts, self._max_seq_len,
+                                    self._input_feats, lengths=lengths)
+            with self._lock:
+                rng = jax.random.fold_in(self._rng, self._dispatches)
+                self._dispatches += 1
+                self._requests += len(group)
+                self._request_rows += len(group)
+                self._padded_rows += pad
+            out = np.asarray(self._sample(self._variables, batch, rng),
+                             np.float32)
+            if self._std is not None:
+                out = out * (self._std + 1e-9) + self._mean
+            now = time.monotonic()
+            with self._lock:
+                self._latencies.extend(now - g.t_enqueue for g in group)
+                del self._latencies[:-4096]
+            for i, g in enumerate(group):
+                g.future.set_result(out[i, :g.length])
+        except BaseException as e:  # noqa: BLE001 — fanned out to callers
+            for g in group:
+                if not g.future.done():
+                    g.future.set_exception(e)

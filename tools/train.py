@@ -36,6 +36,12 @@ def parse_args():
                         "model.pipeline_axis. Mutually exclusive with "
                         "--tensor-parallel/--multihost")
     p.add_argument("--pipeline-microbatches", type=int, default=2)
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="accumulate gradients over N microbatches per "
+                        "optimizer step (lax.scan; ~1/N activation memory — "
+                        "fits the reference's global-batch-128 recipe on a "
+                        "16 GB chip).  Default: config optimizer_config."
+                        "cumulative_iters, else 1")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize + dcn mesh axis "
                         "(multi-slice / multi-host; the reference's "
@@ -198,7 +204,9 @@ def main():
         frozen_prefixes=frozen,
         resume_dir=ckpt_dir if args.resume else None,
         variables_transform=variables_transform,
-        fp16=cfg.get("fp16"))
+        fp16=cfg.get("fp16"),
+        grad_accum=args.grad_accum or (cfg.get("optimizer_config", {}) or {})
+        .get("cumulative_iters", 1))
     logger.info(f"training done at step {int(state.step)}")
 
 
