@@ -118,6 +118,57 @@ def test_length_validation_and_error_fanout(arch_and_vars):
     srv.stop()
 
 
+def test_http_endpoints(arch_and_vars):
+    """tools/serve.py HTTP layer: concurrent POSTs from separate connections
+    batch through one dispatch; /stats and /healthz respond."""
+    import json
+    import sys
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+    sys.path.insert(0, "tools")
+    from serve import make_handler
+
+    arch, variables = arch_and_vars
+    with _server(arch, variables) as srv:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            def post(payload):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                return json.loads(urllib.request.urlopen(req, timeout=120).read())
+
+            results = {}
+            c1 = threading.Thread(target=lambda: results.update(
+                a=post({"text": "a person waves", "length": 12})))
+            c1.start()
+            results["b"] = post({"texts": ["walks", "jumps"], "lengths": [8, T]})
+            c1.join()
+            assert results["a"]["lengths"] == [12]
+            assert len(results["a"]["motions"][0][0]) == D
+            assert results["b"]["lengths"] == [8, T]
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+                assert json.loads(r.read())["ok"]
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+                st = json.loads(r.read())
+            assert st["requests"] == 3
+            # bad request -> 400 with an error body, server stays up
+            try:
+                post({"length": 5})
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            httpd.shutdown()
+
+
 def test_restart_after_stop(arch_and_vars):
     arch, variables = arch_and_vars
     srv = _server(arch, variables)
