@@ -11,6 +11,11 @@ deployment layer over the same sampling path:
 - each group is padded up to the nearest *batch bucket* so every dispatch
   hits a pre-compiled executable: XLA traces once per bucket (static
   shapes), never per request;
+- optional *sequence buckets* partition a group by motion length so short
+  requests run a short-T executable (the linear-attention denoiser is
+  ~linear in T) instead of paying full-T latency;
+- optional ``mesh``: batch rows shard over the data axis for multi-chip
+  serving (params replicated; every batch bucket must tile the axis);
 - one jitted CFG-DDIM sample serves the whole group; outputs are sliced to
   each request's length, denormalized when stats are configured, and the
   per-request futures are fulfilled.
@@ -64,9 +69,10 @@ class MotionGenServer:
     def __init__(self, arch, variables, *, max_seq_len: int = 196,
                  input_feats: int = 322,
                  batch_buckets: Sequence[int] = (1, 2, 4, 8),
+                 seq_buckets: Optional[Sequence[int]] = None,
                  max_wait_ms: float = 20.0, seed: int = 0,
                  compute_dtype=None, mean: Optional[np.ndarray] = None,
-                 std: Optional[np.ndarray] = None):
+                 std: Optional[np.ndarray] = None, mesh=None):
         if list(batch_buckets) != sorted(set(int(b) for b in batch_buckets)):
             raise ValueError("batch_buckets must be ascending and unique")
         self._arch = arch
@@ -74,12 +80,35 @@ class MotionGenServer:
         self._max_seq_len = int(max_seq_len)
         self._input_feats = int(input_feats)
         self._buckets = [int(b) for b in batch_buckets]
+        # sequence-length buckets: a request compiles/runs at the smallest
+        # bucket >= its length instead of always paying full-T latency
+        # (the linear-attention denoiser is ~linear in T)
+        self._seq_buckets = sorted(set(int(t) for t in seq_buckets)) \
+            if seq_buckets else [self._max_seq_len]
+        if self._seq_buckets[-1] != self._max_seq_len:
+            raise ValueError("seq_buckets must end at max_seq_len")
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._rng = jax.random.PRNGKey(seed)
         self._mean = None if mean is None else np.asarray(mean, np.float32)
         self._std = None if std is None else np.asarray(std, np.float32)
-        self._sample = jax.jit(
-            lambda v, b, r: arch.sample(v, b, r, compute_dtype=compute_dtype))
+        self._mesh = mesh
+        fn = lambda v, b, r: arch.sample(v, b, r, compute_dtype=compute_dtype)  # noqa: E731
+        if mesh is None:
+            self._sample = jax.jit(fn)
+        else:
+            # multi-chip serving: batch rows sharded over the 'data' axis,
+            # params replicated — every bucket must tile the data axis
+            from ..parallel import batch_sharding, replicated
+            ndata = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                                 if a in ("dcn", "data")]))
+            bad = [b for b in self._buckets if b % ndata]
+            if bad:
+                raise ValueError(
+                    f"batch_buckets {bad} not divisible by the mesh's "
+                    f"data-parallel size {ndata}")
+            self._sample = jax.jit(fn, in_shardings=(replicated(mesh),
+                                                     batch_sharding(mesh),
+                                                     replicated(mesh)))
 
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
@@ -112,14 +141,14 @@ class MotionGenServer:
         self.stop()
 
     def warmup(self, buckets: Optional[Sequence[int]] = None):
-        """Pre-compile the sample executable for each bucket (first TPU
-        compile is minutes through a cold cache; do it before traffic)."""
+        """Pre-compile the sample executable for each (batch, seq) bucket
+        pair (first TPU compile is minutes through a cold cache; do it
+        before traffic)."""
         from ..apis.factory import make_text_batch
         for b in buckets or self._buckets:
-            batch = make_text_batch(["warmup"] * b, self._max_seq_len,
-                                    self._input_feats)
-            jax.block_until_ready(
-                self._sample(self._variables, batch, self._rng))
+            for t in self._seq_buckets:
+                batch = make_text_batch(["warmup"] * b, t, self._input_feats)
+                jax.block_until_ready(self._call(batch, self._rng))
         return self
 
     # -- client API --------------------------------------------------------
@@ -185,7 +214,23 @@ class MotionGenServer:
             if stop_after:
                 return
 
+    def _call(self, batch, rng):
+        if self._mesh is not None:
+            with jax.set_mesh(self._mesh):
+                return self._sample(self._variables, batch, rng)
+        return self._sample(self._variables, batch, rng)
+
     def _dispatch(self, group):
+        """Partition a group by sequence bucket, one dispatch each (requests
+        at different T buckets run different executables)."""
+        subgroups: dict = {}
+        for g in group:
+            tb = next(t for t in self._seq_buckets if t >= g.length)
+            subgroups.setdefault(tb, []).append(g)
+        for tb in sorted(subgroups):
+            self._dispatch_bucket(subgroups[tb], tb)
+
+    def _dispatch_bucket(self, group, t_bucket):
         from ..apis.factory import make_text_batch
         try:
             bucket = next(b for b in self._buckets if b >= len(group))
@@ -194,7 +239,7 @@ class MotionGenServer:
             lengths = np.asarray([g.length for g in group]
                                  + [group[-1].length] * pad,
                                  np.int32)[:, None]
-            batch = make_text_batch(texts, self._max_seq_len,
+            batch = make_text_batch(texts, t_bucket,
                                     self._input_feats, lengths=lengths)
             with self._lock:
                 rng = jax.random.fold_in(self._rng, self._dispatches)
@@ -202,8 +247,7 @@ class MotionGenServer:
                 self._requests += len(group)
                 self._request_rows += len(group)
                 self._padded_rows += pad
-            out = np.asarray(self._sample(self._variables, batch, rng),
-                             np.float32)
+            out = np.asarray(self._call(batch, rng), np.float32)
             if self._std is not None:
                 out = out * (self._std + 1e-9) + self._mean
             now = time.monotonic()

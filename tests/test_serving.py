@@ -118,6 +118,42 @@ def test_length_validation_and_error_fanout(arch_and_vars):
     srv.stop()
 
 
+def test_seq_buckets_partition_group(arch_and_vars):
+    """Requests at different length buckets run separate (shorter-T)
+    executables; slicing still honors the exact requested length."""
+    arch, variables = arch_and_vars
+    with _server(arch, variables, seq_buckets=(8, T)) as srv:
+        outs = srv.generate(["short walk", "long walk"], [5, 12])
+        assert [o.shape for o in outs] == [(5, D), (12, D)]
+        st = srv.stats()
+    assert st["requests"] == 2 and st["dispatches"] == 2  # one per T bucket
+
+    with pytest.raises(ValueError, match="seq_buckets"):
+        _server(arch, variables, seq_buckets=(8,))  # must end at max_seq_len
+
+
+def test_mesh_serving_matches_single_device(arch_and_vars):
+    """Multi-chip dispatch (batch rows over the data axis) returns the same
+    motions as the unsharded server at f32 tolerance."""
+    from motioncraft_tpu.parallel import create_mesh
+    arch, variables = arch_and_vars
+    mesh = create_mesh()
+    ndata = mesh.shape["data"]
+    buckets = (ndata, 2 * ndata)
+    texts, lengths = ["walk", "wave", "jump"], [T, 8, 12]
+    with _server(arch, variables, batch_buckets=buckets, mesh=mesh) as srv:
+        outs = srv.generate(texts, lengths)
+        st = srv.stats()
+    assert st["dispatches"] == 1
+    with _server(arch, variables, batch_buckets=buckets) as ref:
+        ref_outs = ref.generate(texts, lengths)
+    for a, b in zip(outs, ref_outs):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        _server(arch, variables, batch_buckets=(1, ndata), mesh=mesh)
+
+
 def test_http_endpoints(arch_and_vars):
     """tools/serve.py HTTP layer: concurrent POSTs from separate connections
     batch through one dispatch; /stats and /healthz respond."""

@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8],
                    help="static batch buckets (one compiled executable each)")
+    p.add_argument("--seq-buckets", type=int, nargs="+", default=None,
+                   help="motion-length buckets (must end at max_seq_len); "
+                        "short requests run a short-T executable")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each dispatch's batch rows over the device "
+                        "mesh's data axis (batch buckets must tile it)")
     p.add_argument("--max-wait-ms", type=float, default=20.0,
                    help="dynamic-batching window after the first request")
     p.add_argument("--seed", type=int, default=0)
@@ -91,11 +97,18 @@ def build_server(args):
         if step.get("type") == "Normalize" and os.path.isfile(step["mean_path"]):
             mean, std = np.load(step["mean_path"]), np.load(step["std_path"])
 
+    mesh = None
+    if args.data_parallel:
+        from motioncraft_tpu.parallel import create_mesh
+        mesh = create_mesh()
+
     srv = MotionGenServer(arch, variables, max_seq_len=max_seq_len,
                           input_feats=input_feats,
                           batch_buckets=sorted(set(args.buckets)),
+                          seq_buckets=args.seq_buckets,
                           max_wait_ms=args.max_wait_ms, seed=args.seed,
-                          compute_dtype=compute_dtype, mean=mean, std=std)
+                          compute_dtype=compute_dtype, mean=mean, std=std,
+                          mesh=mesh)
     if args.warmup:
         print("warmup: compiling batch buckets", args.buckets, flush=True)
         srv.warmup()
