@@ -47,8 +47,10 @@ _DEFAULT_INCLUDE = re.compile(
     r"|/before_proj|/after_proj)")
 # never quantize: gate projections (routing quality, fp32 by design), the
 # CLIP/finetune text encoder (runs once per batch/window, not per DDIM
-# step), and normalization-adjacent 1-D params (handled by ndim checks).
-_DEFAULT_EXCLUDE = re.compile(r"(/gate/|/text_enc|/clip|/wav_enc)")
+# step), the STGCN body-graph stack (mounted at /joint_embed/gnn when
+# pose_encoder_cfg.body_graph=True — its plain nn.Dense layers are NOT
+# int8-aware), and normalization-adjacent 1-D params (ndim checks).
+_DEFAULT_EXCLUDE = re.compile(r"(/gate/|/text_enc|/clip|/wav_enc|/gnn/)")
 
 
 def quantize_weight(w: jnp.ndarray, contract_axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -169,9 +171,17 @@ def quantize_variables(variables, *, include: Optional[re.Pattern] = None,
     def rewrite(path, leaf):
         return new_leaves.get(_path_str([getattr(k, "key", k) for k in path]), leaf)
 
+    def merge(old: dict, new: dict) -> dict:
+        # widening passes (pass include= to quantize more) must keep the
+        # scales the earlier pass recorded for already-int8 leaves
+        out = dict(old)
+        for k, v in new.items():
+            out[k] = merge(out[k], v) if isinstance(out.get(k), dict) else v
+        return out
+
     out = dict(variables)
     out["params"] = jax.tree_util.tree_map_with_path(rewrite, params)
-    out["quant"] = quant_tree
+    out["quant"] = merge(dict(variables.get("quant", {})), quant_tree)
     return out
 
 

@@ -89,6 +89,8 @@ class MotionGenServer:
             raise ValueError("seq_buckets must end at max_seq_len")
         self._max_wait_s = float(max_wait_ms) / 1e3
         self._rng = jax.random.PRNGKey(seed)
+        if (mean is None) != (std is None):
+            raise ValueError("mean and std must be given together")
         self._mean = None if mean is None else np.asarray(mean, np.float32)
         self._std = None if std is None else np.asarray(std, np.float32)
         self._mesh = mesh
@@ -133,6 +135,16 @@ class MotionGenServer:
         if t is not None and t.is_alive():
             self._q.put(_STOP)
             t.join(timeout)
+        # a request enqueued while the dispatcher was exiting would never
+        # resolve — fail it loudly instead of stranding the caller
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _STOP and not item.future.done():
+                item.future.set_exception(
+                    RuntimeError("server stopped before dispatch"))
 
     def __enter__(self):
         return self.start()
@@ -168,7 +180,9 @@ class MotionGenServer:
     def generate(self, texts: Sequence[str],
                  lengths: Optional[Sequence[int]] = None) -> list:
         """Synchronous convenience: submit all, wait for all."""
-        lengths = lengths or [None] * len(texts)
+        lengths = [None] * len(texts) if lengths is None else list(lengths)
+        if len(lengths) != len(texts):
+            raise ValueError(f"{len(texts)} texts but {len(lengths)} lengths")
         futures = [self.submit(t, l) for t, l in zip(texts, lengths)]
         return [f.result() for f in futures]
 
@@ -249,7 +263,8 @@ class MotionGenServer:
                 self._padded_rows += pad
             out = np.asarray(self._call(batch, rng), np.float32)
             if self._std is not None:
-                out = out * (self._std + 1e-9) + self._mean
+                from ..apis.windowed import denormalize
+                out = denormalize(out, self._mean, self._std)
             now = time.monotonic()
             with self._lock:
                 self._latencies.extend(now - g.t_enqueue for g in group)

@@ -143,6 +143,40 @@ def test_quantize_variables_selection(tiny_arch_and_vars):
     assert count_quantized(v)[0] == 0
 
 
+def test_quantize_excludes_gnn_scope():
+    """pose_encoder_cfg.body_graph=True mounts an STGCN at /joint_embed/gnn
+    whose plain nn.Dense layers are NOT int8-aware — the default filter must
+    skip everything under /gnn/ while still taking the direct PoseEncoder
+    kernels."""
+    big = jnp.ones((64, 64), jnp.float32)
+    v = {"params": {"model": {"joint_embed": {
+        "joint_0": {"kernel": big, "bias": jnp.zeros((64,))},
+        "gnn": {"block_0": {"conv": {"kernel": big}}},
+    }}}}
+    vq = quantize_variables(v, min_elems=0)
+    p = vq["params"]["model"]["joint_embed"]
+    assert p["joint_0"]["kernel"].dtype == jnp.int8
+    assert p["gnn"]["block_0"]["conv"]["kernel"].dtype == jnp.float32
+
+
+def test_quantize_widening_pass_merges_scales():
+    """A second, wider quantize_variables pass must keep the first pass's
+    scales (the 'quant' collection merges, not overwrites)."""
+    big = jnp.ones((32, 32), jnp.float32) * 0.5
+    v = {"params": {"model": {
+        "ffn": {"linear1": {"kernel": big}},
+        "other": {"dense": {"kernel": big * 2}},
+    }}}
+    v1 = quantize_variables(v, min_elems=0)  # default include: only /ffn/
+    assert count_quantized(v1)[0] == 1
+    v2 = quantize_variables(v1, min_elems=0,
+                            predicate=lambda p, l: "/other/" in p)
+    assert count_quantized(v2)[0] == 2
+    q = v2["quant"]["model"]
+    assert "kernel_scale" in q["ffn"]["linear1"]   # pass-1 scale survived
+    assert "kernel_scale" in q["other"]["dense"]
+
+
 def test_stmogen_int8_forward_and_sample(tiny_arch_and_vars):
     arch, batch, v = tiny_arch_and_vars
     vq = quantize_variables(v, min_elems=0)

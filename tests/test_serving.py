@@ -107,7 +107,11 @@ def test_denormalize_applied(arch_and_vars):
 
 def test_length_validation_and_error_fanout(arch_and_vars):
     arch, variables = arch_and_vars
+    with pytest.raises(ValueError, match="together"):
+        _server(arch, variables, std=np.ones((D,), np.float32))  # no mean
     srv = _server(arch, variables)
+    with pytest.raises(ValueError, match="lengths"):
+        srv.generate(["a", "b", "c"], [8, 16])  # count mismatch
     with pytest.raises(ValueError, match="length"):
         srv.submit("too long", T + 1)
     # a poisoned dispatch rejects every future in the group

@@ -77,7 +77,7 @@ def build_server(args):
                                           input_feats=input_feats))
     if args.torch_checkpoint:
         from motioncraft_tpu.utils.checkpoint import load_eval_variables
-        variables = load_eval_variables(variables, cfg.model,
+        variables = load_eval_variables(cfg.model, variables,
                                         torch_checkpoint=args.torch_checkpoint)
     elif args.checkpoint:
         from motioncraft_tpu.utils.checkpoint import load_params
