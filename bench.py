@@ -38,6 +38,11 @@ def main():
                          "audited hot path (ops/quant.py)")
     ap.add_argument("--no-s2g", action="store_true",
                     help="skip the long-form S2G windows/min secondary metric")
+    ap.add_argument("--step-cache", type=int, default=0, metavar="N",
+                    help="SmoothCache-style layer-residual reuse: recompute "
+                         "each decoder layer every N-th DDIM step, replay the "
+                         "cached residual otherwise (diffusion/stepcache.py). "
+                         "0 = off (the exact protocol number)")
     args = ap.parse_args()
 
     from motioncraft_tpu.apis import (build_flagship, flagship_t2m_cfg, make_text_batch,
@@ -66,8 +71,13 @@ def main():
         from motioncraft_tpu.apis import int8_quantize_variables
         variables = int8_quantize_variables(variables)
 
+    step_cache = None
+    if args.step_cache > 1:
+        from motioncraft_tpu.diffusion import StepCacheConfig
+        step_cache = StepCacheConfig(reuse_every=args.step_cache)
     sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
-                                                     compute_dtype=compute_dtype))
+                                                     compute_dtype=compute_dtype,
+                                                     step_cache=step_cache))
 
     # warmup / compile; halve the batch on HBM exhaustion so the bench always
     # reports a number instead of dying
@@ -110,6 +120,10 @@ def main():
         # (HBM pressure) — the per-batch sweet spot is narrow; see FIDELITY.md
         "batch_note": "B=64 is the 16GB-v5e sweet spot; B=128 regresses on HBM",
     }
+    if args.step_cache > 1:
+        # approximate mode: never the headline protocol number
+        result["step_cache"] = args.step_cache
+        result["metric"] = "t2m_ddim50_stepcache_throughput"
     mfu = compute_mfu(arch, variables, batch, compute_dtype, dt / iters)
     if mfu is not None:
         result["mfu"] = round(mfu, 4)

@@ -16,7 +16,7 @@ import numpy as np
 from ..utils.dist_utils import collect_results
 
 
-def _eval_sample_jit(arch, compute_dtype):
+def _eval_sample_jit(arch, compute_dtype, step_cache=None):
     """One cached jit wrapper per (arch, compute_dtype, mutable-config): a
     fresh ``jax.jit`` per call would own a fresh trace cache and recompile —
     EvalHook runs this every ``interval`` epochs.  ``arch.sample`` bakes
@@ -26,19 +26,27 @@ def _eval_sample_jit(arch, compute_dtype):
     cache = getattr(arch, "_eval_jit_cache", None)
     if cache is None:
         cache = arch._eval_jit_cache = {}
+    sc_key = None
+    if step_cache is not None:  # flags may be an ndarray: key by content
+        sc_key = (step_cache.reuse_every, step_cache.warmup, step_cache.tail,
+                  step_cache.collect_errors,
+                  None if step_cache.flags is None
+                  else np.asarray(step_cache.flags).tobytes())
     key = (compute_dtype, getattr(arch, "inference_type", None),
-           getattr(arch, "repaint_cfg", None))
+           getattr(arch, "repaint_cfg", None), sc_key)
     if key not in cache:
         import jax
         cache[key] = jax.jit(
             lambda v, b, r, i: arch.sample(v, b, jax.random.fold_in(r, i),
-                                           compute_dtype=compute_dtype))
+                                           compute_dtype=compute_dtype,
+                                           step_cache=step_cache))
     return cache[key]
 
 
 def single_device_test(arch, variables, data_loader, *, seed: int = 0,
                        limit: Optional[int] = None, logger=None,
-                       compute_dtype=None, max_inflight: int = 2) -> List[Dict[str, Any]]:
+                       compute_dtype=None, max_inflight: int = 2,
+                       step_cache=None) -> List[Dict[str, Any]]:
     import jax
 
     # pipelined like apis/windowed.py: batches stay numpy (jit transfers
@@ -48,7 +56,10 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
     # prediction is deferred behind ``max_inflight`` later dispatches so the
     # fetch overlaps device compute without accumulating the whole epoch's
     # predictions in HBM
-    sample_jit = _eval_sample_jit(arch, compute_dtype)
+    if step_cache is not None and getattr(step_cache, "collect_errors", False):
+        raise ValueError("collect_errors is a calibration mode; use "
+                         "MotionDiffusion.sample directly")
+    sample_jit = _eval_sample_jit(arch, compute_dtype, step_cache)
     rng = jax.random.PRNGKey(seed)
     results: List[Dict[str, Any]] = []
     inflight: List[tuple] = []

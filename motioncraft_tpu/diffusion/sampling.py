@@ -56,6 +56,9 @@ class SampleResult(NamedTuple):
     pred_xstart: jnp.ndarray
     # [num_timesteps, B, overlap, D] when repaint.same_overlap_noisy else None
     noisy_tail: Optional[jnp.ndarray]
+    # [num_steps, num_layers] relative L1 residual change per step/layer when
+    # sampling ran with StepCacheConfig(collect_errors=True), else None
+    cache_errors: Optional[jnp.ndarray] = None
 
 
 def _seed_pre_seq(d, x, t, pre_seq, rng):
@@ -184,6 +187,30 @@ def p_sample_loop(
     return x
 
 
+def _wrap_cached_model_fn(model_fn, cache, flags_row):
+    """Adapt a cached model_fn ``(x, t, cache, flags) -> (out, new_cache)`` to
+    the plain ``(x, t) -> out`` contract ``ddim_step`` expects, capturing the
+    new cache through a trace-time holder (the wrapped fn is called exactly
+    once per step trace)."""
+    holder = {}
+
+    def mf(x, t):
+        out, holder["cache"] = model_fn(x, t, cache, flags_row)
+        return out
+
+    return mf, holder
+
+
+def _cache_error(new_cache, old_cache):
+    """Per-layer relative L1 residual change [num_layers] (SmoothCache's
+    calibration signal).  Leading axis of the cache pytree is layers."""
+    axes = tuple(range(1, new_cache.ndim))
+    num = jnp.sum(jnp.abs(new_cache.astype(jnp.float32)
+                          - old_cache.astype(jnp.float32)), axis=axes)
+    den = jnp.sum(jnp.abs(old_cache.astype(jnp.float32)), axis=axes)
+    return num / (den + 1e-8)
+
+
 def ddim_sample_loop(
     d: GaussianDiffusion,
     model_fn: ModelFn,
@@ -196,14 +223,22 @@ def ddim_sample_loop(
     pre_seq=None,
     outpainting: Optional[Outpainting] = None,
     repaint: Optional[RepaintConfig] = None,
+    step_cache0: Optional[jnp.ndarray] = None,
+    cache_cfg=None,
 ) -> SampleResult:
     """DDIM chain (:925-1049); dispatches to the harmonized RePaint loop when
-    an outpainting mask is supplied and resampling is enabled (:962-976)."""
+    an outpainting mask is supplied and resampling is enabled (:962-976).
+
+    When ``step_cache0`` is given, ``model_fn`` must have the cached signature
+    ``(x, t, cache, flags[num_layers]) -> (out, new_cache)`` and the per-step
+    reuse table from ``cache_cfg`` (diffusion/stepcache.py) is scanned
+    alongside the timesteps."""
     if outpainting is not None and not (repaint or RepaintConfig()).no_repaint:
         return ddim_sample_loop_harmonize(
             d, model_fn, noise, rng, eta=eta, clip_denoised=clip_denoised,
             denoised_fn=denoised_fn, outpainting=outpainting,
-            repaint=repaint or RepaintConfig())
+            repaint=repaint or RepaintConfig(),
+            step_cache0=step_cache0, cache_cfg=cache_cfg)
 
     B = noise.shape[0]
     ts = jnp.arange(d.num_timesteps - 1, -1, -1)
@@ -212,22 +247,44 @@ def ddim_sample_loop(
     tails0 = (jnp.zeros((d.num_timesteps, B, rp.overlap_len, noise.shape[-1]), noise.dtype)
               if track_tail else None)
 
-    def body(carry, t_scalar):
-        x, key, tails, _ = carry
+    caching = step_cache0 is not None
+    collect = caching and getattr(cache_cfg, "collect_errors", False)
+    if caching:
+        from .stepcache import StepCacheConfig, pattern_flags
+        cfg = cache_cfg or StepCacheConfig()
+        L = step_cache0.shape[0]
+        flags_np = (np.zeros((d.num_timesteps, L), bool) if collect
+                    else pattern_flags(d.num_timesteps, L, cfg))
+        xs = (ts, jnp.asarray(flags_np))
+    else:
+        xs = (ts, jnp.zeros((d.num_timesteps, 0), bool))
+
+    def body(carry, step):
+        x, key, tails, _, cache = carry
+        t_scalar, flags_row = step
         key, sub = jax.random.split(key)
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        if caching:
+            mf, holder = _wrap_cached_model_fn(model_fn, cache, flags_row)
+        else:
+            mf, holder = model_fn, {"cache": cache}
         x, pred_x0, tail = ddim_step(
-            d, model_fn, x, t, sub, eta=eta, clip_denoised=clip_denoised,
+            d, mf, x, t, sub, eta=eta, clip_denoised=clip_denoised,
             denoised_fn=denoised_fn, pre_seq=pre_seq,
             outpainting=outpainting, repaint=repaint)
+        new_cache = holder["cache"]
+        err = _cache_error(new_cache, cache) if collect else None
         if tails is not None and tail is not None:
             tails = tails.at[t_scalar].set(tail)
         # carry the last pred_xstart instead of stacking all of them
         # (stacked [num_steps, B, T, D] would be ~0.8 GB at the bench shape)
-        return (x, key, tails, pred_x0), None
+        return (x, key, tails, pred_x0, new_cache), err
 
-    (x, _, tails, pred_x0), _ = jax.lax.scan(body, (noise, rng, tails0, noise), ts)
-    return SampleResult(sample=x, pred_xstart=pred_x0, noisy_tail=tails)
+    cache0 = step_cache0 if caching else jnp.zeros((0,), noise.dtype)
+    (x, _, tails, pred_x0, _), errs = jax.lax.scan(
+        body, (noise, rng, tails0, noise, cache0), xs)
+    return SampleResult(sample=x, pred_xstart=pred_x0, noisy_tail=tails,
+                        cache_errors=errs if collect else None)
 
 
 def ddim_sample_loop_harmonize(
@@ -241,10 +298,17 @@ def ddim_sample_loop_harmonize(
     denoised_fn=None,
     outpainting: Outpainting,
     repaint: RepaintConfig,
+    step_cache0: Optional[jnp.ndarray] = None,
+    cache_cfg=None,
 ) -> SampleResult:
     """RePaint time-travel DDIM (:1050-1118) as one scan over the static jump
     schedule: denoise steps run ddim_step, diffuse steps run the ``undo``
-    re-noising; both live under ``lax.cond`` with static per-step selectors."""
+    re-noising; both live under ``lax.cond`` with static per-step selectors.
+
+    Step caching (stepcache.py) composes: reuse flags are generated against
+    the jump schedule's denoise mask so every post-jump step recomputes (the
+    ``undo`` re-noising changes x discontinuously), and the residual cache
+    passes through diffuse steps untouched."""
     B = noise.shape[0]
     if repaint.no_resample:
         times = get_schedule_jump_cjm_ddim(d.num_timesteps)
@@ -254,33 +318,53 @@ def ddim_sample_loop_harmonize(
             jump_n_sample=repaint.jump_n_sample)
     pairs = np.array(list(zip(times[:-1], times[1:])), dtype=np.int32)
     t_last_arr = jnp.asarray(pairs[:, 0])
-    denoise_arr = jnp.asarray((pairs[:, 1] < pairs[:, 0]).astype(np.int32))
+    denoise_np = (pairs[:, 1] < pairs[:, 0])
+    denoise_arr = jnp.asarray(denoise_np.astype(np.int32))
 
     track_tail = repaint.same_overlap_noisy
     tails0 = (jnp.zeros((d.num_timesteps, B, repaint.overlap_len, noise.shape[-1]), noise.dtype)
               if track_tail else jnp.zeros((1, 1, 1, 1), noise.dtype))
 
+    caching = step_cache0 is not None
+    if caching:
+        from .stepcache import StepCacheConfig, pattern_flags
+        cfg = cache_cfg or StepCacheConfig()
+        if getattr(cfg, "collect_errors", False):
+            raise NotImplementedError(
+                "collect_errors calibration runs on the plain DDIM loop")
+        flags = jnp.asarray(pattern_flags(len(pairs), step_cache0.shape[0],
+                                          cfg, denoise_mask=denoise_np))
+    else:
+        flags = jnp.zeros((len(pairs), 0), bool)
+    cache0 = step_cache0 if caching else jnp.zeros((0,), noise.dtype)
+
     def body(carry, step):
-        x, key, tails = carry
-        t_last, is_denoise = step
+        x, key, tails, cache = carry
+        t_last, is_denoise, flags_row = step
         key, sub = jax.random.split(key)
         t = jnp.full((B,), t_last, dtype=jnp.int32)
 
         def do_denoise(args):
-            x, sub, tails = args
+            x, sub, tails, cache = args
+            if caching:
+                mf, holder = _wrap_cached_model_fn(model_fn, cache, flags_row)
+            else:
+                mf, holder = model_fn, {"cache": cache}
             nx, _, tail = ddim_step(
-                d, model_fn, x, t, sub, eta=eta, clip_denoised=clip_denoised,
+                d, mf, x, t, sub, eta=eta, clip_denoised=clip_denoised,
                 denoised_fn=denoised_fn, outpainting=outpainting, repaint=repaint)
             if track_tail and tail is not None:
                 tails = jax.lax.dynamic_update_index_in_dim(tails, tail, t_last, 0)
-            return nx, tails
+            return nx, tails, holder["cache"]
 
         def do_diffuse(args):
-            x, sub, tails = args
-            return G.undo(d, x, t, sub), tails
+            x, sub, tails, cache = args
+            return G.undo(d, x, t, sub), tails, cache
 
-        x, tails = jax.lax.cond(is_denoise == 1, do_denoise, do_diffuse, (x, sub, tails))
-        return (x, key, tails), None
+        x, tails, cache = jax.lax.cond(is_denoise == 1, do_denoise, do_diffuse,
+                                       (x, sub, tails, cache))
+        return (x, key, tails, cache), None
 
-    (x, _, tails), _ = jax.lax.scan(body, (noise, rng, tails0), (t_last_arr, denoise_arr))
+    (x, _, tails, _), _ = jax.lax.scan(
+        body, (noise, rng, tails0, cache0), (t_last_arr, denoise_arr, flags))
     return SampleResult(sample=x, pred_xstart=x, noisy_tail=tails if track_tail else None)

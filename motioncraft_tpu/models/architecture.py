@@ -230,8 +230,15 @@ class MotionDiffusion:
                pre_seq: Optional[jnp.ndarray] = None,
                inference_type: Optional[str] = None,
                extra_model_kwargs: Optional[dict] = None,
-               compute_dtype=None):
-        """Pure sampling function: noise -> motion (diffusion_architecture.py:163-204)."""
+               compute_dtype=None,
+               step_cache=None):
+        """Pure sampling function: noise -> motion (diffusion_architecture.py:163-204).
+
+        ``step_cache``: optional ``StepCacheConfig`` (diffusion/stepcache.py)
+        enabling SmoothCache-style per-layer residual reuse across DDIM steps
+        — opt-in, ddim-only, supported models advertise
+        ``supports_step_cache``.  With ``collect_errors=True`` the return
+        value becomes ``(output, errors[steps, layers])`` for calibration."""
         motion = batch["motion"].astype(jnp.float32)
         B, T, D = motion.shape
         inference_type = inference_type or self.inference_type
@@ -271,14 +278,29 @@ class MotionDiffusion:
                 c_enc = c_enc.astype(compute_dtype)
             c = None
 
-        def model_fn(x, t_model):
+        cache0 = None
+        if step_cache is not None:
+            if inference_type != "ddim":
+                raise ValueError("step caching requires inference_type='ddim'")
+            if not getattr(self.model, "supports_step_cache", False):
+                raise ValueError(f"{type(self.model).__name__} does not "
+                                 "support step caching")
+            cache0 = self.model.make_step_cache(
+                B, T, compute_dtype or jnp.float32)
+
+        def model_fn(x, t_model, cache=None, flags=None):
             xin = x.astype(compute_dtype) if compute_dtype is not None else x
+            cache_kw = ({} if cache is None
+                        else {"step_cache": cache, "cache_flags": flags})
             out = self.model.apply(
                 variables, xin, t_model, motion_mask=motion_mask,
                 motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,
                 num_intervals=num_intervals, c=c, c_enc=c_enc, mode="test",
-                **extra)
-            return out.astype(jnp.float32)
+                **cache_kw, **extra)
+            if cache is None:
+                return out.astype(jnp.float32)
+            out, new_cache = out
+            return out.astype(jnp.float32), new_cache
 
         r_noise, r_loop = jax.random.split(rng)
         noise = jax.random.normal(r_noise, (B, T, D), jnp.float32)
@@ -290,12 +312,15 @@ class MotionDiffusion:
         elif inference_type == "ddim":
             result = ddim_sample_loop(self.diffusion_test, model_fn, noise, r_loop,
                                       eta=0.0, clip_denoised=False, pre_seq=pre_seq,
-                                      outpainting=outpainting, repaint=self.repaint_cfg)
+                                      outpainting=outpainting, repaint=self.repaint_cfg,
+                                      step_cache0=cache0, cache_cfg=step_cache)
             output = result.sample
         else:
             raise NotImplementedError(inference_type)
 
         output = self.post_process(output)
+        if result is not None and result.cache_errors is not None:
+            return output, result.cache_errors
         if result is not None and result.noisy_tail is not None:
             return output, result.noisy_tail
         return output

@@ -131,6 +131,11 @@ class DiffusionTransformerBase(nn.Module):
             output = self.forward_train(h=h, cond_type=cond_type, **common)
         else:
             output = self.forward_test(h=h, **common)
+        if isinstance(output, tuple):  # step-cached test path: (out, new_cache)
+            out, new_cache = output
+            if self.use_residual_connection:
+                out = motion + out
+            return out, new_cache
         if self.use_residual_connection:
             output = motion + output
         return output

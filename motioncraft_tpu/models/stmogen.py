@@ -215,6 +215,45 @@ class STMoGenTransformer(DiffusionTransformerBase):
         return {"moe_route_loss": self.moe_route_loss_weight,
                 "template_kl_loss": self.template_kl_loss_weight}
 
+    # --------------------------------------------------------- step caching
+    supports_step_cache = True
+
+    def make_step_cache(self, B: int, T: int, dtype=jnp.float32) -> jnp.ndarray:
+        """Zero-initialised per-layer residual cache for the CFG-doubled test
+        forward: [num_layers, 2B, T/patch, latent_dim] (diffusion/stepcache.py).
+        Step 0 of any schedule must compute (flags enforce this)."""
+        return jnp.zeros((self.num_layers, 2 * B, T // self.patch_size,
+                          self.latent_dim), dtype)
+
+    def _run_blocks_cached(self, h, xf, emb, src_mask, cond_type, motion_length,
+                           num_intervals, step_cache, cache_flags):
+        """Decoder stack with per-layer residual reuse: layer i either
+        recomputes its residual or replays ``step_cache[i]`` under a real
+        ``lax.cond`` branch (compute is skipped on TPU, not masked out).
+        Inference-only: the test path sows no variables, so bound submodule
+        calls inside a cond branch are legal flax."""
+        if self.pipeline_axis is not None:
+            raise ValueError("step caching is not supported with pipeline_axis")
+        new_cache = []
+        for i, block in enumerate(self.temporal_decoder_blocks):
+            # compute returns the layer output directly (NOT hh + (out - hh))
+            # so all-compute flags are bit-identical to the uncached stack
+            def compute(hh, block=block):
+                out = block(hh, xf, emb, src_mask, cond_type, motion_length,
+                            num_intervals, False)
+                return out, out - hh
+
+            def reuse(hh, i=i):
+                r = step_cache[i].astype(hh.dtype)
+                return hh + r, r
+
+            if self.is_initializing():
+                h, r = compute(h)  # init must trace the params unconditionally
+            else:
+                h, r = jax.lax.cond(cache_flags[i], reuse, compute, h)
+            new_cache.append(r)
+        return h, jnp.stack(new_cache)
+
     def _run_blocks(self, h, xf, emb, src_mask, cond_type, motion_length,
                     num_intervals, train):
         """Apply the decoder stack; GPipe it over ``pipeline_axis`` when set
@@ -286,8 +325,13 @@ class STMoGenTransformer(DiffusionTransformerBase):
         return self.out(h).reshape(B, T_out, -1)
 
     def forward_test(self, h=None, src_mask=None, emb=None, xf_out=None,
-                     motion_length=None, num_intervals=1, timesteps=None, **kwargs):
-        """CFG 2x-batch (text + uncond), mixed by scale_func (stmogen.py:725-761)."""
+                     motion_length=None, num_intervals=1, timesteps=None,
+                     step_cache=None, cache_flags=None, **kwargs):
+        """CFG 2x-batch (text + uncond), mixed by scale_func (stmogen.py:725-761).
+
+        With ``step_cache``/``cache_flags`` set (diffusion/stepcache.py), the
+        decoder stack reuses cached per-layer residuals on flagged layers and
+        the return value becomes ``(output, new_cache)``."""
         B, T = h.shape[:2]
         T_out = T * self.patch_size
         all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
@@ -296,8 +340,15 @@ class STMoGenTransformer(DiffusionTransformerBase):
         emb2 = jnp.concatenate([emb, emb], axis=0)
         mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
         ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
-        h2 = self._run_blocks(h2, xf2, emb2, mask2, all_cond, ml2,
-                              num_intervals, False)
+        new_cache = None
+        if step_cache is not None:
+            h2, new_cache = self._run_blocks_cached(
+                h2, xf2, emb2, mask2, all_cond, ml2, num_intervals,
+                step_cache, cache_flags)
+        else:
+            h2 = self._run_blocks(h2, xf2, emb2, mask2, all_cond, ml2,
+                                  num_intervals, False)
         out = self.out(h2).reshape(2 * B, T_out, -1)
         text_coef, none_coef = self.scale_func(timesteps[0])
-        return out[:B] * text_coef + out[B:] * none_coef
+        mixed = out[:B] * text_coef + out[B:] * none_coef
+        return mixed if new_cache is None else (mixed, new_cache)

@@ -1,0 +1,204 @@
+"""Step caching (SmoothCache-style layer-residual reuse, diffusion/stepcache.py).
+
+Covers: flag-table generation (pattern + calibration), exactness of the
+all-compute cached path, eager-loop equivalence of the scanned cached sampler
+under a real reuse pattern, calibration error collection, RePaint-harmonized
+composition, and the opt-in guards.  The reference has no equivalent feature —
+its only cost knob is timestep respacing (gaussian_diffusion.py:1346-1404).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motioncraft_tpu.apis import build_flagship, make_text_batch, tiny_t2m_cfg
+from motioncraft_tpu.diffusion import (StepCacheConfig, ddim_step,
+                                       flags_from_errors, model_timesteps,
+                                       pattern_flags)
+from motioncraft_tpu.diffusion.sampling import Outpainting, RepaintConfig
+
+
+# --------------------------------------------------------------- flag tables
+
+def test_pattern_flags_uniform():
+    cfg = StepCacheConfig(reuse_every=2, warmup=1, tail=1)
+    f = pattern_flags(6, 3, cfg)
+    # run counter: s0 compute (warmup), s1 reuse, s2 compute, s3 reuse,
+    # s4 compute, s5 compute (tail)
+    assert f.shape == (6, 3)
+    np.testing.assert_array_equal(f[:, 0], [False, True, False, True, False, False])
+    assert (f == f[:, :1]).all()  # uniform across layers
+
+
+def test_pattern_flags_denoise_mask_resets_runs():
+    cfg = StepCacheConfig(reuse_every=2, warmup=1, tail=0)
+    mask = np.array([True, True, False, True, True])  # step 2 is a re-noise
+    f = pattern_flags(5, 1, cfg, denoise_mask=mask)
+    # s0 compute, s1 reuse, s2 skipped (diffuse), s3 compute (run reset),
+    # s4 reuse
+    np.testing.assert_array_equal(f[:, 0], [False, True, False, False, True])
+
+
+def test_pattern_flags_validation():
+    with pytest.raises(ValueError):
+        StepCacheConfig(warmup=0)
+    with pytest.raises(ValueError):
+        StepCacheConfig(reuse_every=0)
+    bad = np.ones((4, 2), bool)  # step 0 reuse is illegal
+    with pytest.raises(ValueError):
+        pattern_flags(4, 2, StepCacheConfig(flags=bad))
+    with pytest.raises(ValueError):
+        pattern_flags(5, 2, StepCacheConfig(flags=np.zeros((4, 2), bool)))
+
+
+def test_flags_from_errors():
+    errors = np.array([[9.0], [0.01], [0.01], [0.01], [0.01], [0.01]])
+    f = flags_from_errors(errors, threshold=0.05, max_consecutive=2, tail=1)
+    # step 0 computes; step 1 sees errors[0]=9 (vs zero cache) -> compute;
+    # steps 2,3 reuse; step 4 hits max_consecutive -> compute; step 5 tail
+    np.testing.assert_array_equal(f[:, 0], [False, False, True, True, False, False])
+
+
+# ------------------------------------------------------------ sampler parity
+
+@pytest.fixture(scope="module")
+def arch_and_vars():
+    arch = build_flagship(tiny_t2m_cfg(max_seq_len=16))
+    batch = make_text_batch(["a person walks", "a person jumps"], max_seq_len=16)
+    variables = arch.init(jax.random.PRNGKey(0), batch)
+    # perturb away from the zero-init output heads: an untouched model has
+    # exactly-zero block residuals, which would make every assertion vacuous
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    ks = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              if jnp.issubdtype(l.dtype, jnp.floating) else l
+              for l, k in zip(leaves, ks)]
+    return arch, jax.tree_util.tree_unflatten(treedef, leaves), batch
+
+
+def test_all_compute_is_exact(arch_and_vars):
+    arch, variables, batch = arch_and_vars
+    rng = jax.random.PRNGKey(7)
+    base = jax.jit(arch.sample)(variables, batch, rng)
+    cfg = StepCacheConfig(reuse_every=1, warmup=1, tail=0)
+    cached = jax.jit(lambda v, b, r: arch.sample(v, b, r, step_cache=cfg))(
+        variables, batch, rng)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+
+def test_reuse_matches_eager_reference(arch_and_vars):
+    """The scanned cached sampler == an eager python loop threading the same
+    cache/flags through ddim_step (proves the scan wiring, flag alignment and
+    carry threading, not just 'it runs')."""
+    arch, variables, batch = arch_and_vars
+    d = arch.diffusion_test
+    rng = jax.random.PRNGKey(11)
+    cfg = StepCacheConfig(reuse_every=2, warmup=1, tail=0)
+
+    out_scan = jax.jit(lambda v, b, r: arch.sample(v, b, r, step_cache=cfg))(
+        variables, batch, rng)
+
+    # eager restatement of MotionDiffusion.sample + ddim_sample_loop
+    motion = batch["motion"].astype(jnp.float32)
+    B, T, D = motion.shape
+    xf_out = arch.encode_text(variables, batch["text_ids"])
+
+    def model_fn(x, t_model, cache, flags):
+        out, new_cache = arch.model.apply(
+            variables, x, t_model, motion_mask=batch["motion_mask"].astype(jnp.float32),
+            motion_length=batch["motion_length"], xf_out=xf_out,
+            num_intervals=1, mode="test", step_cache=cache, cache_flags=flags)
+        return out.astype(jnp.float32), new_cache
+
+    r_noise, r_loop = jax.random.split(rng)
+    x = jax.random.normal(r_noise, (B, T, D), jnp.float32)
+    flags = jnp.asarray(pattern_flags(d.num_timesteps, arch.model.num_layers, cfg))
+    assert bool(flags.any()), "pattern must actually reuse for this test"
+    cache = arch.model.make_step_cache(B, T)
+    key = r_loop
+    for s, t_scalar in enumerate(range(d.num_timesteps - 1, -1, -1)):
+        key, sub = jax.random.split(key)
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        holder = {}
+
+        def mf(xx, tt):
+            out, holder["c"] = model_fn(xx, tt, cache, flags[s])
+            return out
+
+        x, _, _ = ddim_step(d, mf, x, t, sub, eta=0.0, clip_denoised=False)
+        cache = holder["c"]
+    out_eager = arch.post_process(x)
+
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_eager),
+                               rtol=0, atol=1e-5)
+
+
+def test_reuse_differs_from_baseline(arch_and_vars):
+    """With perturbed weights the reuse branch must actually take effect:
+    cached output differs from the exact sampler but stays finite."""
+    arch, variables, batch = arch_and_vars
+    rng = jax.random.PRNGKey(13)
+    base = jax.jit(arch.sample)(variables, batch, rng)
+    cfg = StepCacheConfig(reuse_every=2, warmup=1, tail=0)
+    out = jax.jit(lambda v, b, r: arch.sample(v, b, r, step_cache=cfg))(
+        variables, batch, rng)
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.abs(out - base).max()) > 0.0
+
+
+def test_collect_errors(arch_and_vars):
+    arch, variables, batch = arch_and_vars
+    rng = jax.random.PRNGKey(17)
+    base = jax.jit(arch.sample)(variables, batch, rng)
+    cfg = StepCacheConfig(collect_errors=True)
+    out, errs = jax.jit(lambda v, b, r: arch.sample(v, b, r, step_cache=cfg))(
+        variables, batch, rng)
+    d = arch.diffusion_test
+    assert errs.shape == (d.num_timesteps, arch.model.num_layers)
+    # all-compute probe: the sample itself is exact
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    # steps >=1 measure real residual change on a perturbed model
+    assert (np.asarray(errs)[1:] > 0).all()
+    # ...and the calibrated table round-trips into a runnable config
+    flags = flags_from_errors(np.asarray(errs), threshold=np.inf, tail=1)
+    out2 = jax.jit(lambda v, b, r: arch.sample(
+        v, b, r, step_cache=StepCacheConfig(flags=flags)))(variables, batch, rng)
+    assert bool(jnp.isfinite(out2).all())
+
+
+def test_harmonize_composes(arch_and_vars):
+    """RePaint-harmonized windowed sampling accepts a step cache: all-compute
+    flags reproduce the uncached harmonized output exactly."""
+    arch, variables, batch = arch_and_vars
+    motion = batch["motion"].astype(jnp.float32)
+    B, T, D = motion.shape
+    mask = jnp.zeros((B, T, D), bool).at[:, :4, :].set(True)
+    outp = Outpainting(mask=mask, gt=motion)
+    rp = RepaintConfig(overlap_len=4, jump_length=2, jump_n_sample=2)
+    rng = jax.random.PRNGKey(19)
+
+    def run(step_cache):
+        a = build_flagship(tiny_t2m_cfg(max_seq_len=16))
+        a.repaint_cfg = rp
+        return jax.jit(lambda v, b, r: a.sample(
+            v, b, r, outpainting=outp, step_cache=step_cache))(variables, batch, rng)
+
+    base = run(None)
+    exact = run(StepCacheConfig(reuse_every=1, warmup=1, tail=0))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(exact))
+    reuse = run(StepCacheConfig(reuse_every=2, warmup=1, tail=0))
+    assert bool(jnp.isfinite(reuse).all())
+
+
+def test_guards(arch_and_vars):
+    arch, variables, batch = arch_and_vars
+    with pytest.raises(ValueError, match="ddim"):
+        arch.sample(variables, batch, jax.random.PRNGKey(0),
+                    inference_type="ddpm", step_cache=StepCacheConfig())
+    with pytest.raises(NotImplementedError):
+        # calibration is defined on the plain loop only
+        mask = jnp.zeros_like(batch["motion"], dtype=bool).at[:, :4, :].set(True)
+        arch.sample(variables, batch, jax.random.PRNGKey(0),
+                    outpainting=Outpainting(mask=mask, gt=batch["motion"].astype(jnp.float32)),
+                    step_cache=StepCacheConfig(collect_errors=True))

@@ -34,6 +34,12 @@ def parse_args():
                    help="int8 W8A8 denoiser weights on the audited hot path "
                         "(ops/quant.py; combine with --bf16 for bf16 "
                         "activations)")
+    p.add_argument("--step-cache", type=int, default=0, metavar="N",
+                   help="SmoothCache-style layer-residual reuse: recompute "
+                        "each decoder layer every N-th DDIM step and replay "
+                        "its cached residual otherwise (diffusion/stepcache"
+                        ".py). 0 = off (exact, default); approximate like "
+                        "--int8 and stamped into metrics.json")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute (params cast + compute_dtype; "
                         "diffusion schedule and metric math stay f32)")
@@ -103,18 +109,24 @@ def main():
             _n, _e = count_quantized(variables)
             print(f"int8: quantized {_n} weights ({_e / 1e6:.1f}M params)")
     cdt = jnp.bfloat16 if args.bf16 else None
+    step_cache = None
+    if args.step_cache > 1:
+        from motioncraft_tpu.diffusion import StepCacheConfig
+        step_cache = StepCacheConfig(reuse_every=args.step_cache)
 
     from motioncraft_tpu.apis.test import multi_host_test, single_device_test
     t0 = time.time()
     if dist:
         results = multi_host_test(arch, variables, loader, seed=args.seed,
                                   limit=args.limit, compute_dtype=cdt,
+                                  step_cache=step_cache,
                                   logger=lambda m: print("  " + m, flush=True))
         if jax.process_index() != 0:
             return
     else:
         results = single_device_test(arch, variables, loader, seed=args.seed,
                                      limit=args.limit, compute_dtype=cdt,
+                                     step_cache=step_cache,
                                      logger=lambda m: print("  " + m, flush=True))
     print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
     metrics = dataset.evaluate(results[:args.limit] if args.limit else results,
@@ -129,9 +141,10 @@ def main():
         "untrained_evaluator": not getattr(ev, "pretrained_loaded", False),
         "hash_tokenizer": find_bpe_asset() is None,
         "int8_weights": bool(args.int8),
+        "step_cache": int(args.step_cache),
     }
     out["protocol"] = not any(
-        v for k, v in flags.items() if k != "int8_weights")
+        v for k, v in flags.items() if k not in ("int8_weights", "step_cache"))
     out["flags"] = flags
     if not out["protocol"]:
         print("WARNING: run is NOT protocol-comparable:", flags)
