@@ -38,7 +38,14 @@ def main():
                          "audited hot path (ops/quant.py)")
     ap.add_argument("--no-s2g", action="store_true",
                     help="skip the long-form S2G windows/min secondary metric")
-    ap.add_argument("--step-cache", type=int, default=0, metavar="N",
+    def step_cache_arg(v):
+        n = int(v)
+        if n != 0 and n < 2:  # reject a silent no-op (1/negatives)
+            raise argparse.ArgumentTypeError(
+                "--step-cache must be 0 (off) or an integer >= 2")
+        return n
+
+    ap.add_argument("--step-cache", type=step_cache_arg, default=0, metavar="N",
                     help="SmoothCache-style layer-residual reuse: recompute "
                          "each decoder layer every N-th DDIM step, replay the "
                          "cached residual otherwise (diffusion/stepcache.py). "

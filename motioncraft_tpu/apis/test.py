@@ -36,10 +36,15 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None):
            getattr(arch, "repaint_cfg", None), sc_key)
     if key not in cache:
         import jax
+        # Only pass step_cache when set: ``sample`` is the generic
+        # architecture contract (reference mogen/apis/test.py:13-33 works
+        # with any model) and most ``sample`` signatures don't take the
+        # kwarg — an unconditional pass-through broke single_device_test
+        # for non-step-cache architectures (round-3 regression).
+        kw = {} if step_cache is None else {"step_cache": step_cache}
         cache[key] = jax.jit(
             lambda v, b, r, i: arch.sample(v, b, jax.random.fold_in(r, i),
-                                           compute_dtype=compute_dtype,
-                                           step_cache=step_cache))
+                                           compute_dtype=compute_dtype, **kw))
     return cache[key]
 
 

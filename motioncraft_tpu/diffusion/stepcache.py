@@ -75,6 +75,21 @@ def pattern_flags(num_steps: int, num_layers: int, cfg: StepCacheConfig,
                              f"{(num_steps, num_layers)}")
         if flags[0].any():
             raise ValueError("step 0 cannot reuse: cache starts at zeros")
+        if denoise_mask is not None:
+            # an explicit table must also respect jump discontinuities: the
+            # first denoise step after an ``undo`` re-noise would otherwise
+            # replay a residual cached across the discontinuity
+            mask = np.asarray(denoise_mask, dtype=bool)
+            first_after_jump = mask & np.concatenate([[True], ~mask[:-1]])
+            bad = flags[first_after_jump]
+            if bad.any():
+                raise ValueError(
+                    "explicit flags mark reuse on the first denoise step "
+                    "after a re-noise jump (steps "
+                    f"{np.nonzero(first_after_jump)[0][bad.any(axis=1)].tolist()}); "
+                    "the cached residual predates the discontinuity — zero "
+                    "those rows or regenerate the table with this "
+                    "denoise_mask")
         return flags
     flags = np.zeros((num_steps, num_layers), dtype=bool)
     run = 0

@@ -282,6 +282,17 @@ class MotionDiffusion:
         if step_cache is not None:
             if inference_type != "ddim":
                 raise ValueError("step caching requires inference_type='ddim'")
+            if (getattr(step_cache, "collect_errors", False)
+                    and outpainting is not None
+                    and self.repaint_cfg is not None
+                    and getattr(self.repaint_cfg, "same_overlap_noisy", False)):
+                # both results ride the same tuple slot; dropping noisy_tail
+                # silently would corrupt a windowed outpainting run
+                raise ValueError(
+                    "collect_errors cannot be combined with a tail-tracking "
+                    "repaint config (same_overlap_noisy): the calibration "
+                    "errors would replace the noisy_tail return — calibrate "
+                    "on a plain run instead")
             if not getattr(self.model, "supports_step_cache", False):
                 raise ValueError(f"{type(self.model).__name__} does not "
                                  "support step caching")

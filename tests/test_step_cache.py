@@ -52,6 +52,21 @@ def test_pattern_flags_validation():
         pattern_flags(5, 2, StepCacheConfig(flags=np.zeros((4, 2), bool)))
 
 
+def test_explicit_flags_respect_denoise_mask():
+    # an explicit table flagging reuse on the first denoise step after an
+    # ``undo`` jump would replay a residual cached across the discontinuity
+    mask = np.array([True, True, False, True, True])
+    flags = np.zeros((5, 2), bool)
+    flags[3, 0] = True  # step 3 is the first denoise after the jump at 2
+    with pytest.raises(ValueError, match="after a re-noise jump"):
+        pattern_flags(5, 2, StepCacheConfig(flags=flags), denoise_mask=mask)
+    # the same table is fine when the reuse sits later in the run
+    ok = np.zeros((5, 2), bool)
+    ok[4, 0] = True
+    out = pattern_flags(5, 2, StepCacheConfig(flags=ok), denoise_mask=mask)
+    np.testing.assert_array_equal(out, ok)
+
+
 def test_flags_from_errors():
     errors = np.array([[9.0], [0.01], [0.01], [0.01], [0.01], [0.01]])
     f = flags_from_errors(errors, threshold=0.05, max_consecutive=2, tail=1)
@@ -202,3 +217,17 @@ def test_guards(arch_and_vars):
         arch.sample(variables, batch, jax.random.PRNGKey(0),
                     outpainting=Outpainting(mask=mask, gt=batch["motion"].astype(jnp.float32)),
                     step_cache=StepCacheConfig(collect_errors=True))
+    # plain-loop (no_repaint) outpainting with a tail-tracking repaint config:
+    # cache_errors and noisy_tail share the return slot — must refuse, not
+    # silently drop the tail
+    old = arch.repaint_cfg
+    try:
+        arch.repaint_cfg = RepaintConfig(no_repaint=True, same_overlap_noisy=True)
+        mask = jnp.zeros_like(batch["motion"], dtype=bool).at[:, :4, :].set(True)
+        with pytest.raises(ValueError, match="tail-tracking"):
+            arch.sample(variables, batch, jax.random.PRNGKey(0),
+                        outpainting=Outpainting(mask=mask,
+                                                gt=batch["motion"].astype(jnp.float32)),
+                        step_cache=StepCacheConfig(collect_errors=True))
+    finally:
+        arch.repaint_cfg = old

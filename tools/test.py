@@ -20,6 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
+def step_cache_arg(v):
+    """0 = off; N >= 2 = reuse period.  1 and negatives are rejected rather
+    than silently treated as off (N=1 would be exact either way, but a
+    silent no-op confuses calibration comparisons)."""
+    n = int(v)
+    if n != 0 and n < 2:
+        raise argparse.ArgumentTypeError(
+            "--step-cache must be 0 (off) or an integer >= 2")
+    return n
+
+
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate a motion model")
     p.add_argument("config")
@@ -34,7 +45,7 @@ def parse_args():
                    help="int8 W8A8 denoiser weights on the audited hot path "
                         "(ops/quant.py; combine with --bf16 for bf16 "
                         "activations)")
-    p.add_argument("--step-cache", type=int, default=0, metavar="N",
+    p.add_argument("--step-cache", type=step_cache_arg, default=0, metavar="N",
                    help="SmoothCache-style layer-residual reuse: recompute "
                         "each decoder layer every N-th DDIM step and replay "
                         "its cached residual otherwise (diffusion/stepcache"
@@ -148,6 +159,15 @@ def main():
     out["flags"] = flags
     if not out["protocol"]:
         print("WARNING: run is NOT protocol-comparable:", flags)
+    elif flags["int8_weights"] or flags["step_cache"]:
+        # protocol stays true (evaluator/tokenizer semantics are intact) but
+        # the sampler output is approximate — say so loudly, not only in the
+        # flags dict
+        print("NOTE: approximate sampling mode "
+              f"(int8_weights={flags['int8_weights']}, "
+              f"step_cache={flags['step_cache']}); metric deltas vs the "
+              "exact bf16 run are expected — compare against an exact run "
+              "before quoting numbers")
     with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
         json.dump(out, f, indent=2)
 
