@@ -195,6 +195,23 @@ class STMoGenTransformer(DiffusionTransformerBase):
                                patch_size=self.patch_size)
 
     def build_temporal_blocks(self):
+        if self.pipeline_axis is not None:
+            # Stacked storage: ONE nn.vmap-lifted module whose params carry a
+            # leading [num_layers] axis, sharded over ``pipe`` by the
+            # tree_shardings rules (parallel/tp.py) — each stage holds only
+            # its num_layers/S slice, so pipeline parallelism actually
+            # relieves weight memory (params, grads AND adam moments), not
+            # just activations.  gpipe consumes the stacked tree directly.
+            if isinstance(self.ffn_cfg, (list, tuple)):
+                raise ValueError("pipeline_axis requires homogeneous layers "
+                                 "(per-layer ffn_cfg lists cannot be stacked)")
+            stacked_cls = nn.vmap(
+                STMoGenDecoderLayer,
+                variable_axes={"params": 0, "losses": 0},
+                split_rngs={"params": True, "gate_noise": True},
+                in_axes=None, out_axes=0, axis_size=self.num_layers)
+            return [stacked_cls(ca_block_cfg=self.ca_block_cfg,
+                                ffn_cfg=self.ffn_cfg, name="stacked_blocks")]
         layer_cls = (nn.remat(STMoGenDecoderLayer, static_argnums=(7, 8))
                      if self.remat else STMoGenDecoderLayer)
         blocks = []
@@ -258,22 +275,30 @@ class STMoGenTransformer(DiffusionTransformerBase):
                     num_intervals, train):
         """Apply the decoder stack; GPipe it over ``pipeline_axis`` when set
         (parallel/pp.py — the reference's DDP has no pipeline path)."""
-        if self.pipeline_axis is None or self.is_initializing():
+        if self.pipeline_axis is None:
             for block in self.temporal_decoder_blocks:
                 h = block(h, xf, emb, src_mask, cond_type, motion_length,
                           num_intervals, train)
             return h
-        if isinstance(self.ffn_cfg, (list, tuple)):
-            raise ValueError("pipeline_axis requires homogeneous layers "
-                             "(per-layer ffn_cfg lists cannot be stacked)")
+        stacked_mod = self.temporal_decoder_blocks[0]
+        if self.is_initializing():
+            # run the lifted module once so its [num_layers, ...] params get
+            # created; the vmapped output (every layer applied to the same
+            # input) is meaningless and discarded — h's shape is unchanged by
+            # the residual-stack blocks, so downstream init sees real shapes
+            stacked_mod(h, xf, emb, src_mask, cond_type, motion_length)
+            return h
         if train and ((self.ca_block_cfg or {}).get("dropout", 0.0)
                       or (self.ffn_cfg or {}).get("dropout", 0.0)):
             raise ValueError("pipeline_axis training path does not thread "
                              "dropout rngs; set dropout=0")
         from ..parallel.pp import gpipe
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[b.variables["params"] for b in self.temporal_decoder_blocks])
+        if "params" not in stacked_mod.variables:
+            raise ValueError(
+                "pipeline_axis model got per-layer block params; convert "
+                "them to the stacked layout with "
+                "parallel.pp.stack_block_params (or init the piped model)")
+        stacked = stacked_mod.variables["params"]
         # parent=None: a detached functional template, not a submodule
         layer = STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
                                     ffn_cfg=self.ffn_cfg, parent=None)

@@ -160,3 +160,38 @@ def gpipe(layer_fn: Callable[[Any, jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.nda
     return jax.shard_map(body, mesh=mesh,
                          in_specs=(p_specs, b_spec, c_specs),
                          out_specs=(b_spec, P()))(stacked_params, x, consts)
+
+
+def stack_block_params(params: dict, num_layers: int, *,
+                       prefix: str = "block_",
+                       stacked_name: str = "stacked_blocks") -> dict:
+    """Per-layer ``block_{i}`` param subtrees -> one ``stacked_blocks``
+    subtree with a leading [num_layers] axis (the layout a
+    ``pipeline_axis`` model stores natively, sharded over ``pipe`` by
+    tp.tree_shardings).  Use when loading a plain/converted checkpoint into a
+    pipelined model.  Non-block entries pass through unchanged."""
+    params = dict(params)
+    blocks = []
+    for i in range(num_layers):
+        key = f"{prefix}{i}"
+        if key not in params:
+            raise KeyError(f"missing per-layer params '{key}' "
+                           f"(have: {sorted(params)})")
+        blocks.append(dict(params.pop(key)))
+    params[stacked_name] = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+def unstack_block_params(params: dict, *, prefix: str = "block_",
+                         stacked_name: str = "stacked_blocks") -> dict:
+    """Inverse of ``stack_block_params``: split the stacked subtree back into
+    per-layer ``block_{i}`` entries (plain-model layout, e.g. to evaluate a
+    pipeline-trained checkpoint on one chip)."""
+    params = dict(params)
+    stacked = params.pop(stacked_name)
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        params[f"{prefix}{i}"] = jax.tree_util.tree_map(
+            lambda x, i=i: x[i], stacked)
+    return params

@@ -35,6 +35,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, DCN_AXIS, EXPERT_AXIS
+from .pp import PIPE_AXIS
 
 TENSOR_AXIS = "tensor"
 
@@ -123,9 +124,22 @@ def _resolve(raw: Optional[tuple], shape: Tuple[int, ...], mesh: Mesh,
 
 
 def leaf_spec(path, leaf, mesh: Mesh, *, expert_axis: Optional[str] = EXPERT_AXIS,
-              tensor_axis: Optional[str] = TENSOR_AXIS) -> P:
+              tensor_axis: Optional[str] = TENSOR_AXIS,
+              pipe_axis: Optional[str] = PIPE_AXIS) -> P:
     names = [_key_name(p) for p in path]
     shape = tuple(getattr(leaf, "shape", ()) or ())
+    if pipe_axis is not None and "stacked_blocks" in names and shape:
+        # pipeline-parallel stacked block params [num_layers, ...]: shard the
+        # layer axis over ``pipe`` (each stage holds its layer slice — this
+        # is what makes pp relieve weight memory, parallel/pp.py); the tp/ep
+        # rules apply to the trailing per-layer shape
+        inner = _resolve(_tp_rule(names, shape[1:]), shape[1:], mesh,
+                         expert_axis, tensor_axis)
+        lead = (pipe_axis if (pipe_axis in mesh.axis_names
+                              and mesh.shape[pipe_axis] > 1
+                              and shape[0] % mesh.shape[pipe_axis] == 0)
+                else None)
+        return P(lead, *inner)
     return _resolve(_tp_rule(names, shape), shape, mesh, expert_axis, tensor_axis)
 
 

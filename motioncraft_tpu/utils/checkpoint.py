@@ -86,6 +86,31 @@ def load_params(path: str) -> dict:
     return tree
 
 
+def align_block_layout(model_cfg: dict, tree):
+    """Match block-param storage to the model's pipeline setting: a
+    ``pipeline_axis`` model stores decoder blocks stacked ``[num_layers,...]``
+    under ``stacked_blocks`` (sharded over ``pipe`` — parallel/pp.py), a
+    plain model stores per-layer ``block_{i}`` subtrees.  Checkpoints in the
+    other layout are converted transparently so pipeline-trained weights
+    evaluate on one chip and vice versa."""
+    sub = model_cfg.get("model", {}) if isinstance(model_cfg, dict) else {}
+    want_stacked = sub.get("pipeline_axis") is not None
+    params = tree.get("params", tree) if isinstance(tree, dict) else tree
+    if not isinstance(params, dict):
+        return tree
+    if want_stacked and "block_0" in params and "stacked_blocks" not in params:
+        from ..parallel.pp import stack_block_params
+        new = stack_block_params(dict(params), sub["num_layers"])
+    elif not want_stacked and "stacked_blocks" in params:
+        from ..parallel.pp import unstack_block_params
+        new = unstack_block_params(dict(params))
+    else:
+        return tree
+    if isinstance(tree, dict) and "params" in tree:
+        return {**tree, "params": new}
+    return new
+
+
 def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
                         torch_checkpoint=None):
     """Load evaluation weights into initialized variables.
@@ -94,7 +119,15 @@ def load_eval_variables(model_cfg: dict, variables, checkpoint=None,
     base+control ControlT2MHalf ckpts (reference README.md:241,
     controlnet.py:427-439), base-only STMoGen ckpts, and MCM ckpts —
     dispatched on the config's submodule type.  ``checkpoint`` is our own
-    .npz param dump."""
+    .npz param dump.  Block-param storage is aligned to the model's
+    pipeline setting afterwards (``align_block_layout``)."""
+    out = _load_eval_variables(model_cfg, variables, checkpoint,
+                               torch_checkpoint)
+    return align_block_layout(model_cfg, out)
+
+
+def _load_eval_variables(model_cfg: dict, variables, checkpoint=None,
+                         torch_checkpoint=None):
     def _ffn_heads(cfg: dict) -> int:
         # build_temporal_blocks also accepts a per-layer list of ffn_cfgs;
         # the reference's head count is uniform across layers, so take [0]

@@ -110,6 +110,14 @@ class TestSTMoGenPipeline:
         return plain, piped, variables, batch, xf, motion, t, cond
 
     @staticmethod
+    def _to_stacked(piped, variables):
+        """Plain per-layer block params -> the piped model's stacked layout."""
+        from motioncraft_tpu.parallel import stack_block_params
+        return {**variables,
+                "params": stack_block_params(dict(variables["params"]),
+                                             piped.model.num_layers)}
+
+    @staticmethod
     def _sum_aux(losses):
         """Sum only aux_loss-named leaves — what the architecture collects;
         the inner MoELayer l_aux leaves are logging duplicates of the same
@@ -135,6 +143,7 @@ class TestSTMoGenPipeline:
 
     def test_forward_train_matches_per_microbatch_sequential(self, setup):
         plain, piped, variables, batch, xf, motion, t, cond = setup
+        variables_pp = self._to_stacked(piped, variables)
         mesh = create_mesh(8, axes=("data", "pipe"),
                            shape=(self.DATA, self.PIPE))
         with jax.set_mesh(mesh):
@@ -143,7 +152,7 @@ class TestSTMoGenPipeline:
                     {"params": v}, m, tt, motion_mask=mask, motion_length=ml,
                     xf_out=xf_, cond_type=c, mode="train", train=True,
                     mutable=["losses"]))(
-                variables["params"], motion, t, batch["motion_mask"],
+                variables_pp["params"], motion, t, batch["motion_mask"],
                 batch["motion_length"], xf, cond)
             out_pp = np.asarray(out_pp)
             aux_pp = self._sum_aux(state_pp["losses"])
@@ -163,6 +172,7 @@ class TestSTMoGenPipeline:
 
     def test_forward_test_cfg_runs_pipelined(self, setup):
         plain, piped, variables, batch, xf, motion, t, cond = setup
+        variables_pp = self._to_stacked(piped, variables)
         mesh = create_mesh(8, axes=("data", "pipe"),
                            shape=(self.DATA, self.PIPE))
         with jax.set_mesh(mesh):
@@ -170,8 +180,46 @@ class TestSTMoGenPipeline:
                 lambda v, m, tt, mask, ml, xf_: piped.model.apply(
                     {"params": v}, m, tt, motion_mask=mask, motion_length=ml,
                     xf_out=xf_, mode="test"))(
-                variables["params"], motion, t, batch["motion_mask"],
+                variables_pp["params"], motion, t, batch["motion_mask"],
                 batch["motion_length"], xf)
         out = np.asarray(out)
         assert out.shape == (self.B, self.T, 322)
         assert np.isfinite(out).all()
+
+    def test_stacked_params_shard_over_pipe(self, setup):
+        """The delivered promise of pp: block params (and so grads + adam
+        moments, which mirror param paths) live num_layers/S per stage —
+        per-device bytes for the stacked subtree shrink PIPE x."""
+        from motioncraft_tpu.parallel import tree_shardings, unstack_block_params
+        plain, piped, variables, batch, xf, motion, t, cond = setup
+        variables_pp = self._to_stacked(piped, variables)
+        mesh = create_mesh(8, axes=("data", "pipe"),
+                           shape=(self.DATA, self.PIPE))
+        params = variables_pp["params"]
+        sharded = jax.device_put(params, tree_shardings(params, mesh))
+        stacked = sharded["stacked_blocks"]
+        for path, leaf in jax.tree_util.tree_leaves_with_path(stacked):
+            spec = leaf.sharding.spec
+            assert spec and spec[0] == "pipe", (path, spec)
+            shard_bytes = max(s.data.nbytes for s in leaf.addressable_shards)
+            assert shard_bytes * self.PIPE == leaf.nbytes, (path, shard_bytes)
+        # round-trip: stacked -> per-layer restores the plain layout exactly
+        restored = unstack_block_params(dict(jax.device_get(sharded)))
+        for i in range(piped.model.num_layers):
+            jax.tree_util.tree_map(
+                np.testing.assert_array_equal,
+                restored[f"block_{i}"], dict(variables["params"][f"block_{i}"]))
+
+    def test_stacked_init_matches_layout(self, setup):
+        """Initializing the piped model directly creates the stacked layout
+        (same treedef + shapes as stacking a plain init), so training from
+        scratch under pp needs no conversion step."""
+        plain, piped, variables, batch, xf, motion, t, cond = setup
+        v_init = piped.init(jax.random.PRNGKey(0), batch)
+        stacked_ref = self._to_stacked(piped, variables)["params"]
+        ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, stacked_ref)
+        got_shapes = jax.tree_util.tree_map(lambda x: x.shape,
+                                            dict(v_init["params"]))
+        assert jax.tree_util.tree_structure(ref_shapes) == \
+            jax.tree_util.tree_structure(got_shapes)
+        assert ref_shapes == got_shapes
