@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import fabricate_torch as fab  # noqa: E402
 
 
+import pytest
+
+pytestmark = pytest.mark.parity
+
 def count_changed(before, after):
     return sum(int(not np.array_equal(a, b)) for a, b in
                zip(jax.tree_util.tree_leaves(before),

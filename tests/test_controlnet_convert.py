@@ -25,7 +25,7 @@ from motioncraft_tpu.utils.torch_convert import (_tree_update,
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import fabricate_torch as fab  # noqa: E402
 
-pytestmark = pytest.mark.slow  # multi-minute e2e compiles
+pytestmark = [pytest.mark.slow, pytest.mark.parity]  # multi-minute e2e compiles
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -30,6 +30,8 @@ from test_controlnet_convert import fabricate_merged_sd  # noqa: E402
 from test_stmogen_forward_parity import (TDecoderLayer, TSTMoGen,  # noqa: E402
                                          t_timestep_embedding)
 
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

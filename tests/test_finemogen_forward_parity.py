@@ -28,6 +28,8 @@ import fabricate_torch as fab  # noqa: E402
 from test_stmogen_forward_parity import (TMOE, TSFFN, TStylization,  # noqa: E402
                                          TSTMoGen, t_timestep_embedding)
 
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 
 

@@ -30,6 +30,8 @@ import fabricate_torch as fab  # noqa: E402
 from test_stmogen_forward_parity import (TClip, TStylization,  # noqa: E402
                                          t_timestep_embedding)
 
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 
 

@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import fabricate_torch as fab  # noqa: E402
 from test_stmogen_forward_parity import TClip  # noqa: E402
 
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 
 

@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import fabricate_torch as fab  # noqa: E402
 from test_mcm_forward_parity import TEffCross, TEffSelf, TFFN, TMCM  # noqa: E402
 
+import pytest
+
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 
 

@@ -31,6 +31,10 @@ import fabricate_torch as fab  # noqa: E402
 from test_stmogen_forward_parity import (TClip, TStylization,  # noqa: E402
                                          t_timestep_embedding)
 
+import pytest
+
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 
 # tiny shapes shared by both models

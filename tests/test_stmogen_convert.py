@@ -12,6 +12,10 @@ from motioncraft_tpu.registry import build_architecture
 from motioncraft_tpu.utils.torch_convert import convert_stmogen, _tree_update
 
 
+import pytest
+
+pytestmark = pytest.mark.parity
+
 def fabricate_torch_sd(params, num_layers, num_heads, text_layers, clip_layers):
     """Create torch-named arrays with shapes implied by the flax tree."""
     sd = {}

@@ -34,6 +34,8 @@ from motioncraft_tpu.utils.torch_convert import _tree_update, convert_stmogen
 
 from test_stmogen_convert import fabricate_torch_sd
 
+pytestmark = pytest.mark.parity
+
 torch.set_grad_enabled(False)
 
 

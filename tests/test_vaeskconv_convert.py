@@ -20,6 +20,8 @@ from motioncraft_tpu.eval.s2g_fid import (VAESKConv, build_edge_topology,  # noq
 from motioncraft_tpu.ops.fk import SMPLX_PARENTS  # noqa: E402
 
 
+pytestmark = pytest.mark.parity
+
 def _layer_structure(num_layers=4, grow=(1, 1, 2, 1), channel_base=6):
     parents = [int(p) for p in SMPLX_PARENTS]
     topologies = [build_edge_topology(parents)]
