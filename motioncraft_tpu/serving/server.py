@@ -4,7 +4,11 @@ The reference ships research CLIs only (tools/visualize.py renders one
 prompt per process run); it has no serving story.  This is a TPU-native
 deployment layer over the same sampling path:
 
-- requests (text, motion length, optional condition) enter a queue;
+- requests (text, motion length, optional frame-aligned condition — raw
+  audio for S2G, music features for M2D) enter a queue; long-form requests
+  (``submit_long``) of arbitrary length are served window-by-window with
+  RePaint-outpainted overlaps, and concurrent long requests run in LOCKSTEP
+  (one DDIM scan per window for the whole group, apis/windowed.py);
 - a dispatcher thread groups up to the largest batch bucket, waiting at most
   ``max_wait_ms`` after the first arrival (classic dynamic batching —
   latency-bounded, throughput-greedy);
@@ -43,8 +47,23 @@ import numpy as np
 class _Pending:
     text: str
     length: int
+    # optional per-request condition, aligned to the motion frames: raw
+    # 16 kHz audio [length*533, 2] for S2G, music features [length, 163]
+    # for M2D (reference tools/{s2g,m2d}_test.py condition protocols)
+    condition: Optional[np.ndarray] = None
+    # long-form request: generated window-by-window (RePaint outpainting)
+    # instead of one fixed-T dispatch; `length` is then total_frames
+    long: bool = False
     future: Future = field(default_factory=Future)
     t_enqueue: float = field(default_factory=time.monotonic)
+
+    def cond_sig(self):
+        """Requests batch together only when their conditions agree in
+        per-frame rate and trailing shape (one trace signature each)."""
+        if self.condition is None:
+            return None
+        rate = self.condition.shape[0] // max(1, self.length)
+        return (rate,) + tuple(self.condition.shape[1:])
 
 
 _STOP = object()
@@ -72,7 +91,9 @@ class MotionGenServer:
                  seq_buckets: Optional[Sequence[int]] = None,
                  max_wait_ms: float = 20.0, seed: int = 0,
                  compute_dtype=None, mean: Optional[np.ndarray] = None,
-                 std: Optional[np.ndarray] = None, mesh=None):
+                 std: Optional[np.ndarray] = None, mesh=None,
+                 window: Optional[int] = None, pre_frames: int = 4,
+                 repaint=None):
         if list(batch_buckets) != sorted(set(int(b) for b in batch_buckets)):
             raise ValueError("batch_buckets must be ascending and unique")
         self._arch = arch
@@ -94,6 +115,13 @@ class MotionGenServer:
         self._mean = None if mean is None else np.asarray(mean, np.float32)
         self._std = None if std is None else np.asarray(std, np.float32)
         self._mesh = mesh
+        # long-form serving (windowed RePaint outpainting over
+        # apis/windowed.py): window defaults to the model's full context
+        self._window = int(window) if window else self._max_seq_len
+        self._pre_frames = int(pre_frames)
+        self._repaint = repaint
+        self._compute_dtype = compute_dtype
+        self._long_dispatches = 0
         fn = lambda v, b, r: arch.sample(v, b, r, compute_dtype=compute_dtype)  # noqa: E731
         if mesh is None:
             self._sample = jax.jit(fn)
@@ -165,15 +193,52 @@ class MotionGenServer:
 
     # -- client API --------------------------------------------------------
 
-    def submit(self, text: str, length: Optional[int] = None) -> Future:
+    @staticmethod
+    def _check_condition(condition, length):
+        if condition is None:
+            return None
+        condition = np.asarray(condition, np.float32)
+        if condition.ndim < 1 or condition.shape[0] % max(1, length):
+            raise ValueError(
+                f"condition length {condition.shape[0]} is not a whole "
+                f"per-frame rate for {length} frames")
+        return condition
+
+    def submit(self, text: str, length: Optional[int] = None,
+               condition: Optional[np.ndarray] = None) -> Future:
         """Enqueue one request; resolves to a [length, input_feats] f32
-        array (denormalized when stats are configured)."""
+        array (denormalized when stats are configured).
+
+        ``condition`` is the frame-aligned conditioning payload for
+        conditioned architectures (ControlNet S2G/M2D): raw 16 kHz audio
+        samples (rate samples/frame) or per-frame music features.  Its
+        leading dim must be a whole multiple of ``length``; requests batch
+        together only when their condition rate + trailing shape agree."""
         length = self._max_seq_len if length is None else int(length)
         if not 0 < length <= self._max_seq_len:
             raise ValueError(
                 f"length {length} outside (0, {self._max_seq_len}]")
         self.start()
-        req = _Pending(str(text), length)
+        req = _Pending(str(text), length,
+                       condition=self._check_condition(condition, length))
+        self._q.put(req)
+        return req.future
+
+    def submit_long(self, text: str, total_frames: int,
+                    condition: Optional[np.ndarray] = None) -> Future:
+        """Enqueue a LONG-FORM request: ``total_frames`` may exceed the
+        model context; generation runs window-by-window with RePaint
+        outpainted overlaps (apis/windowed.py — the reference's
+        tools/s2g_test.py:120-260 loop, productized).  Long requests that
+        arrive within the batching window run in LOCKSTEP through one DDIM
+        scan per window (windowed_sample_batch), so long-form throughput
+        scales with concurrency too.  Resolves to [total_frames, D]."""
+        total_frames = int(total_frames)
+        if total_frames <= 0:
+            raise ValueError(f"total_frames {total_frames} must be > 0")
+        self.start()
+        req = _Pending(str(text), total_frames, long=True,
+                       condition=self._check_condition(condition, total_frames))
         self._q.put(req)
         return req.future
 
@@ -193,12 +258,15 @@ class MotionGenServer:
             return {
                 "requests": self._requests,
                 "dispatches": self._dispatches,
+                "long_dispatches": self._long_dispatches,
                 "mean_occupancy": (self._request_rows / self._dispatches
                                    if self._dispatches else 0.0),
                 "padding_fraction": (self._padded_rows /
                                      max(1, self._request_rows + self._padded_rows)),
+                # percentiles cover the most recent window only (bounded list)
                 "latency_p50_s": lat[n // 2] if n else None,
                 "latency_p95_s": lat[min(n - 1, int(n * 0.95))] if n else None,
+                "latency_window": n,
             }
 
     # -- dispatcher --------------------------------------------------------
@@ -235,14 +303,21 @@ class MotionGenServer:
         return self._sample(self._variables, batch, rng)
 
     def _dispatch(self, group):
-        """Partition a group by sequence bucket, one dispatch each (requests
-        at different T buckets run different executables)."""
+        """Partition a group by (long?, sequence bucket, condition
+        signature), one dispatch each (each key is one trace signature)."""
         subgroups: dict = {}
         for g in group:
-            tb = next(t for t in self._seq_buckets if t >= g.length)
-            subgroups.setdefault(tb, []).append(g)
-        for tb in sorted(subgroups):
-            self._dispatch_bucket(subgroups[tb], tb)
+            if g.long:
+                key = ("long", g.cond_sig())
+            else:
+                tb = next(t for t in self._seq_buckets if t >= g.length)
+                key = (tb, g.cond_sig())
+            subgroups.setdefault(key, []).append(g)
+        for key in sorted(subgroups, key=str):
+            if key[0] == "long":
+                self._dispatch_long(subgroups[key])
+            else:
+                self._dispatch_bucket(subgroups[key], key[0])
 
     def _dispatch_bucket(self, group, t_bucket):
         from ..apis.factory import make_text_batch
@@ -255,6 +330,16 @@ class MotionGenServer:
                                  np.int32)[:, None]
             batch = make_text_batch(texts, t_bucket,
                                     self._input_feats, lengths=lengths)
+            if group[0].condition is not None:
+                # zero-pad each request's condition to the bucket's frame
+                # count x the group's shared per-frame rate
+                rate = group[0].cond_sig()[0]
+                rows = [g.condition for g in group] + [group[-1].condition] * pad
+                c = np.zeros((bucket, t_bucket * rate)
+                             + group[0].condition.shape[1:], np.float32)
+                for i, r in enumerate(rows):
+                    c[i, :r.shape[0]] = r
+                batch["c"] = c
             with self._lock:
                 rng = jax.random.fold_in(self._rng, self._dispatches)
                 self._dispatches += 1
@@ -271,6 +356,72 @@ class MotionGenServer:
                 del self._latencies[:-4096]
             for i, g in enumerate(group):
                 g.future.set_result(out[i, :g.length])
+        except BaseException as e:  # noqa: BLE001 — fanned out to callers
+            for g in group:
+                if not g.future.done():
+                    g.future.set_exception(e)
+
+    def _dispatch_long(self, group):
+        """Lockstep-batched long-form dispatch: window w of every request in
+        the group runs as ONE DDIM scan (apis/windowed.py
+        windowed_sample_batch), RePaint-outpainting each window's overlap
+        from the previous one.  Ragged lengths are fine — shorter requests
+        ride padded windows whose outputs are discarded."""
+        from ..apis.factory import make_text_batch
+        from ..apis.windowed import windowed_sample, windowed_sample_batch
+        from ..diffusion.sampling import RepaintConfig
+        try:
+            bucket = next((b for b in self._buckets if b >= len(group)),
+                          len(group))
+            pad = bucket - len(group)
+            reqs = list(group) + [group[-1]] * pad
+            window, pre = self._window, self._pre_frames
+
+            def make_maker(g):
+                rate = None if g.condition is None else g.cond_sig()[0]
+
+                def maker(start, end):
+                    b = make_text_batch([g.text], window, self._input_feats)
+                    if g.condition is not None:
+                        c = np.zeros((window * rate,)
+                                     + g.condition.shape[1:], np.float32)
+                        seg = g.condition[start * rate:end * rate]
+                        c[:seg.shape[0]] = seg
+                        b["c"] = c[None]
+                    return b
+                return maker
+
+            makers = [make_maker(g) for g in reqs]
+            totals = [g.length for g in reqs]
+            with self._lock:
+                rng = jax.random.fold_in(self._rng, self._dispatches)
+                self._dispatches += 1
+                self._long_dispatches += 1
+                self._requests += len(group)
+                self._request_rows += len(group)
+                self._padded_rows += pad
+            repaint = self._repaint or RepaintConfig(overlap_len=pre,
+                                                     add_blend=True)
+            kw = dict(window=window, pre_frames=pre, rng=rng,
+                      use_repaint=True, repaint=repaint,
+                      feat_dim=self._input_feats,
+                      compute_dtype=self._compute_dtype)
+            if len(makers) == 1:
+                outs = [windowed_sample(self._arch, self._variables,
+                                        makers[0], total_frames=totals[0],
+                                        **kw)]
+            else:
+                outs = windowed_sample_batch(self._arch, self._variables,
+                                             makers, totals, **kw)
+            if self._std is not None:
+                from ..apis.windowed import denormalize
+                outs = [denormalize(o, self._mean, self._std) for o in outs]
+            now = time.monotonic()
+            with self._lock:
+                self._latencies.extend(now - g.t_enqueue for g in group)
+                del self._latencies[:-4096]
+            for g, o in zip(group, outs):
+                g.future.set_result(np.asarray(o, np.float32))
         except BaseException as e:  # noqa: BLE001 — fanned out to callers
             for g in group:
                 if not g.future.done():

@@ -217,3 +217,148 @@ def test_restart_after_stop(arch_and_vars):
     out2 = srv.generate(["walk"])  # submit() restarts the dispatcher
     assert out1[0].shape == out2[0].shape
     srv.stop()
+
+
+# ------------------------------------------------- conditioned + long-form
+
+@pytest.fixture(scope="module")
+def s2g_arch_and_vars():
+    """Tiny ControlNet S2G arch (raw-audio WavEncoder condition) — the
+    conditioned serving path (reference task: tools/s2g_test.py)."""
+    import jax
+    from motioncraft_tpu.apis import make_text_batch
+    from motioncraft_tpu.registry import build_architecture
+    import motioncraft_tpu.models  # noqa: F401
+    heads, lat = 12, 8
+    base = dict(type="STMoGenTransformer", input_feats=D, max_seq_len=T,
+                latent_dim=lat * heads, time_embed_dim=32, num_layers=2,
+                ca_block_cfg=dict(type="STMA", latent_dim=lat,
+                                  text_latent_dim=16, num_heads=heads,
+                                  num_text_heads=1, num_experts=4, topk=2,
+                                  gate_type="cosine_top", gate_noise=0.0,
+                                  ffn_dim=16, time_embed_dim=32,
+                                  max_seq_len=T, max_text_seq_len=77,
+                                  temporal_comb=False, dropout=0),
+                ffn_cfg=dict(latent_dim=lat, ffn_dim=16, dropout=0,
+                             time_embed_dim=32, num_heads=heads),
+                text_encoder=dict(pretrained_model="clip", latent_dim=16,
+                                  num_layers=1, ff_size=16, dropout=0,
+                                  use_text_proj=False, clip_width=32,
+                                  clip_layers=1),
+                pose_encoder_cfg=dict(dataset_name="motionx", latent_dim=lat,
+                                      input_dim=D),
+                pose_decoder_cfg=dict(dataset_name="motionx", latent_dim=lat,
+                                      output_dim=D),
+                scale_func_cfg=dict(scale=6.5))
+    cfg = dict(type="MotionDiffusion",
+               model=dict(type="ControlT2MHalf", base_model=base,
+                          copy_blocks_num=1, control_cond_feats=2,
+                          condition_encode_cfg=dict(
+                              dataset_name="beats2",
+                              condition_pre_encode=True,
+                              condition_pre_encode_type="wav",
+                              condition_latent_dim=16,
+                              control_cond_feats=2, condition_cfg=True)),
+               loss_recon=dict(type="MSELoss", loss_weight=1,
+                               reduction="none"),
+               diffusion_train=dict(beta_scheduler="linear",
+                                    diffusion_steps=1000,
+                                    model_mean_type="start_x",
+                                    model_var_type="fixed_large"),
+               diffusion_test=dict(beta_scheduler="linear",
+                                   diffusion_steps=1000,
+                                   model_mean_type="start_x",
+                                   model_var_type="fixed_large", respace="4"),
+               inference_type="ddim", loss_reduction="batch",
+               repaint=dict(overlap_len=4, add_blend=True, jump_length=3,
+                            jump_n_sample=2))
+    arch = build_architecture(cfg)
+    rate = 16000 // 30
+    batch = make_text_batch(["someone speaks"], max_seq_len=T)
+    batch["c"] = np.random.RandomState(0).randn(1, T * rate, 2).astype(np.float32)
+    variables = arch.init(jax.random.PRNGKey(0), batch)
+    return arch, variables, rate
+
+
+def test_conditioned_requests_batch_and_slice(s2g_arch_and_vars):
+    """S2G-style requests carry raw audio; same-rate requests share one
+    dispatch, output honors per-request length."""
+    arch, variables, rate = s2g_arch_and_vars
+    rng = np.random.RandomState(1)
+    with _server(arch, variables) as srv:
+        f1 = srv.submit("a person speaks", T,
+                        condition=rng.randn(T * rate, 2).astype(np.float32))
+        f2 = srv.submit("another person speaks", 10,
+                        condition=rng.randn(10 * rate, 2).astype(np.float32))
+        o1, o2 = f1.result(timeout=600), f2.result(timeout=600)
+        st = srv.stats()
+    assert o1.shape == (T, D) and o2.shape == (10, D)
+    assert np.isfinite(o1).all() and np.isfinite(o2).all()
+    assert st["dispatches"] == 1  # same rate + trailing shape -> one group
+
+
+def test_condition_validation(s2g_arch_and_vars):
+    arch, variables, rate = s2g_arch_and_vars
+    srv = _server(arch, variables)
+    with pytest.raises(ValueError, match="whole"):
+        srv.submit("x", 10, condition=np.zeros((10 * rate + 1, 2), np.float32))
+    srv.stop()
+
+
+def test_long_form_lockstep(arch_and_vars):
+    """Two concurrent long-form requests run as ONE lockstep windowed
+    dispatch; outputs are exact total_frames long."""
+    arch, variables = arch_and_vars
+    total_a, total_b = 40, 28
+    with _server(arch, variables, window=T, pre_frames=4) as srv:
+        fa = srv.submit_long("a long walk", total_a)
+        fb = srv.submit_long("a long wave", total_b)
+        oa, ob = fa.result(timeout=900), fb.result(timeout=900)
+        st = srv.stats()
+    assert oa.shape == (total_a, D) and ob.shape == (total_b, D)
+    assert np.isfinite(oa).all() and np.isfinite(ob).all()
+    assert st["long_dispatches"] == 1 and st["requests"] == 2
+
+
+def test_long_form_conditioned_wav(s2g_arch_and_vars):
+    """The VERDICT target: one request turns a wav of arbitrary length into
+    a gesture clip via windowed RePaint generation."""
+    arch, variables, rate = s2g_arch_and_vars
+    total = 40  # > window=16 -> multiple outpainted windows
+    wav = np.random.RandomState(2).randn(total * rate, 2).astype(np.float32)
+    with _server(arch, variables, window=T, pre_frames=4) as srv:
+        out = srv.submit_long("someone speaks at length", total,
+                              condition=wav).result(timeout=900)
+    assert out.shape == (total, D)
+    assert np.isfinite(out).all()
+
+
+def test_http_generate_long(arch_and_vars):
+    """HTTP round-trip for long-form generation (/generate_long)."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from serve import make_handler
+
+    arch, variables = arch_and_vars
+    with _server(arch, variables, window=T, pre_frames=4) as srv:
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(srv))
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate_long",
+                data=json.dumps({"text": "a very long walk",
+                                 "total_frames": 28}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                body = json.loads(r.read())
+            assert body["lengths"] == [28]
+            assert len(body["motions"][0]) == 28
+            assert len(body["motions"][0][0]) == D
+        finally:
+            httpd.shutdown()

@@ -44,6 +44,12 @@ def parse_args():
                         "mesh's data axis (batch buckets must tile it)")
     p.add_argument("--max-wait-ms", type=float, default=20.0,
                    help="dynamic-batching window after the first request")
+    p.add_argument("--window", type=int, default=None,
+                   help="long-form generation window (default: the model's "
+                        "max_seq_len); /generate_long produces arbitrary "
+                        "lengths window-by-window with RePaint overlaps")
+    p.add_argument("--pre-frames", type=int, default=4,
+                   help="overlap frames outpainted between long-form windows")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute (params cast + compute_dtype)")
@@ -108,7 +114,8 @@ def build_server(args):
                           seq_buckets=args.seq_buckets,
                           max_wait_ms=args.max_wait_ms, seed=args.seed,
                           compute_dtype=compute_dtype, mean=mean, std=std,
-                          mesh=mesh)
+                          mesh=mesh, window=args.window,
+                          pre_frames=args.pre_frames)
     if args.warmup:
         print("warmup: compiling batch buckets", args.buckets, flush=True)
         srv.warmup()
@@ -136,14 +143,27 @@ def make_handler(srv):
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/generate":
+            if self.path not in ("/generate", "/generate_long"):
                 return self._json(404, {"error": "unknown path"})
             try:
                 req = json.loads(
                     self.rfile.read(int(self.headers.get("Content-Length", 0))))
                 texts = req.get("texts") or [req["text"]]
-                lengths = req.get("lengths") or [req.get("length")] * len(texts)
-                outs = srv.generate(texts, lengths)
+                conds = req.get("conditions") or [req.get("condition")] * len(texts)
+                conds = [None if c is None else np.asarray(c, np.float32)
+                         for c in conds]
+                if self.path == "/generate_long":
+                    # long-form: arbitrary total_frames, windowed RePaint
+                    # generation; concurrent requests run in lockstep
+                    totals = req.get("total_frames")
+                    totals = totals if isinstance(totals, list) else [totals] * len(texts)
+                    futures = [srv.submit_long(t, n, condition=c)
+                               for t, n, c in zip(texts, totals, conds)]
+                else:
+                    lengths = req.get("lengths") or [req.get("length")] * len(texts)
+                    futures = [srv.submit(t, l, condition=c)
+                               for t, l, c in zip(texts, lengths, conds)]
+                outs = [f.result() for f in futures]
                 self._json(200, {"motions": [o.tolist() for o in outs],
                                  "lengths": [int(o.shape[0]) for o in outs]})
             except Exception as e:  # noqa: BLE001 — surfaced to the client
