@@ -134,17 +134,25 @@ def main():
     mfu = compute_mfu(arch, variables, batch, compute_dtype, dt / iters)
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
+        if args.step_cache > 1:
+            # the FLOP count assumes every layer computes at every step;
+            # with reuse flags set this reads as EFFECTIVE utilization
+            result["mfu_note"] = ("effective (counts skipped layer FLOPs "
+                                  "as done)")
     if not args.no_s2g and not args.quick:
         int8 = args.dtype == "int8"
+        sc = args.step_cache if args.step_cache > 1 else None
         try:
-            result["s2g_windows_per_min"] = round(bench_s2g_windows(int8=int8), 2)
+            result["s2g_windows_per_min"] = round(
+                bench_s2g_windows(int8=int8, step_cache=sc), 2)
         except Exception as e:  # secondary metric must never kill the bench
             print(f"bench: s2g secondary metric failed: {e}", file=sys.stderr)
         try:
             # lockstep-batched recordings (windowed_sample_batch, R=8):
             # window w of independent recordings shares one DDIM scan
             result["s2g_windows_per_min_batched8"] = round(
-                bench_s2g_windows(recording_batch=8, int8=int8), 2)
+                bench_s2g_windows(recording_batch=8, int8=int8,
+                                  step_cache=sc), 2)
         except Exception as e:
             print(f"bench: batched s2g metric failed: {e}", file=sys.stderr)
     print(json.dumps(result))
@@ -192,7 +200,7 @@ def compute_mfu(arch, variables, batch, compute_dtype, sec_per_call):
 
 
 def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
-                      recording_batch=1, int8=False):
+                      recording_batch=1, int8=False, step_cache=None):
     """Long-form S2G throughput: RePaint-outpainted 64-frame windows over
     synthetic recordings (the reference protocol's hot loop,
     tools/s2g_test.py:120-260).  recording_batch=1 is the sequential
@@ -222,19 +230,25 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
         variables = int8_quantize_variables(variables)
     repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
                             jump_n_sample=2)
+    sc_cfg = None
+    if step_cache:
+        from motioncraft_tpu.diffusion import StepCacheConfig
+        sc_cfg = StepCacheConfig(reuse_every=step_cache)
     R = recording_batch
     if R > 1:
         def run(key):
             windowed_sample_batch(
                 arch, variables, [make_window_batch] * R, [total_frames] * R,
                 window=window, pre_frames=pre, rng=key, use_repaint=True,
-                repaint=repaint, compute_dtype=jnp.bfloat16)
+                repaint=repaint, compute_dtype=jnp.bfloat16,
+                step_cache=sc_cfg)
     else:
         def run(key):
             windowed_sample(
                 arch, variables, make_window_batch, total_frames=total_frames,
                 window=window, pre_frames=pre, rng=key, use_repaint=True,
-                repaint=repaint, compute_dtype=jnp.bfloat16)
+                repaint=repaint, compute_dtype=jnp.bfloat16,
+                step_cache=sc_cfg)
     t0 = time.time()
     run(jax.random.PRNGKey(1))
     print(f"bench: s2g R={R} compile+first recording {time.time() - t0:.1f}s",

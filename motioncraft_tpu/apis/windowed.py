@@ -28,7 +28,7 @@ def num_windows(total_frames: int, window: int, pre_frames: int) -> int:
     return max(1, (total_frames - pre_frames) // (window - pre_frames))
 
 
-def _jitted_samplers(arch):
+def _jitted_samplers(arch, step_cache=None):
     """One set of jitted sample fns per architecture, cached on the instance.
 
     Re-creating ``jax.jit`` wrappers per call (or per window) would give each
@@ -48,8 +48,13 @@ def _jitted_samplers(arch):
         caches = arch._windowed_jit_cache = {}
     # arch.sample bakes inference_type/repaint_cfg into the trace — key on
     # them so mutating arch config between calls can't reuse a stale trace
+    sc_key = None
+    if step_cache is not None:  # static config; key the trace cache on it
+        sc_key = (step_cache.reuse_every, step_cache.warmup, step_cache.tail,
+                  None if step_cache.flags is None
+                  else np.asarray(step_cache.flags).tobytes())
     cfg_key = (getattr(arch, "inference_type", None),
-               getattr(arch, "repaint_cfg", None))
+               getattr(arch, "repaint_cfg", None), sc_key)
     cache = caches.get(cfg_key)
     if cache is None:
         def make_fns(banked):
@@ -64,14 +69,17 @@ def _jitted_samplers(arch):
                 return {**b["static"],
                         **{k: v[bidx] for k, v in b["banked"].items()}}
 
+            sc_kw = {} if step_cache is None else {"step_cache": step_cache}
+
             def first_fn(v, b, rng, widx, bidx, dt):
                 out = arch.sample(v, pick(b, bidx), jax.random.fold_in(rng, widx),
-                                  compute_dtype=dt)
+                                  compute_dtype=dt, **sc_kw)
                 return out[0] if isinstance(out, tuple) else out
 
             def preseq_fn(v, b, rng, widx, bidx, last, pre, dt):
                 out = arch.sample(v, pick(b, bidx), jax.random.fold_in(rng, widx),
-                                  pre_seq=last[:, -pre:, :], compute_dtype=dt)
+                                  pre_seq=last[:, -pre:, :], compute_dtype=dt,
+                                  **sc_kw)
                 return out[0] if isinstance(out, tuple) else out
 
             def outpaint_fn(v, b, rng, widx, bidx, last, tails, pre,
@@ -82,7 +90,7 @@ def _jitted_samplers(arch):
                                  clip_idx=1 if clip_idx_gt0 else 0,
                                  previous_noisy_tail=tails)
                 out = arch.sample(v, pick(b, bidx), jax.random.fold_in(rng, widx),
-                                  outpainting=op, compute_dtype=dt)
+                                  outpainting=op, compute_dtype=dt, **sc_kw)
                 if isinstance(out, tuple):
                     return out  # (sample, new noisy tails)
                 return out, tails
@@ -147,6 +155,7 @@ def windowed_sample(
     repaint: Optional[RepaintConfig] = None,
     feat_dim: int = 322,
     compute_dtype=None,
+    step_cache=None,
 ) -> np.ndarray:
     """Generate ``total_frames`` of motion window by window.
 
@@ -162,7 +171,7 @@ def windowed_sample(
     repaint = repaint or RepaintConfig(overlap_len=pre_frames)
     rounds = num_windows(total_frames, window, pre_frames)
     stride = window - pre_frames
-    jits = _jitted_samplers(arch)
+    jits = _jitted_samplers(arch, step_cache)
     kw = dict(use_repaint=use_repaint, repaint=repaint,
               pre_frames=pre_frames, compute_dtype=compute_dtype)
 
@@ -219,6 +228,7 @@ def windowed_sample_batch(
     repaint: Optional[RepaintConfig] = None,
     feat_dim: int = 322,
     compute_dtype=None,
+    step_cache=None,
     precompute_condition: bool = True,
     window_chunk: Optional[int] = None,
     lookahead: int = 4,
@@ -255,7 +265,7 @@ def windowed_sample_batch(
     rounds = [num_windows(tf, window, pre_frames) for tf in total_frames_list]
     max_rounds = max(rounds)
     stride = window - pre_frames
-    jits = _jitted_samplers(arch)
+    jits = _jitted_samplers(arch, step_cache)
     kw = dict(use_repaint=use_repaint, repaint=repaint,
               pre_frames=pre_frames, compute_dtype=compute_dtype)
     # bound the encode-call batch (and the bank size) to ~256 windows

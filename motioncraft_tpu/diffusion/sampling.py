@@ -201,9 +201,21 @@ def _wrap_cached_model_fn(model_fn, cache, flags_row):
     return mf, holder
 
 
+def _cache_layers(step_cache0) -> int:
+    """Number of reuse-controllable layers (the flags-table width).  A model
+    may use a dict cache (e.g. ControlNet carries the control branch's ``c``
+    states alongside the layer residuals); by convention the layer-residual
+    table lives under key "h"."""
+    if isinstance(step_cache0, dict):
+        return step_cache0["h"].shape[0]
+    return step_cache0.shape[0]
+
+
 def _cache_error(new_cache, old_cache):
     """Per-layer relative L1 residual change [num_layers] (SmoothCache's
     calibration signal).  Leading axis of the cache pytree is layers."""
+    if isinstance(new_cache, dict):
+        new_cache, old_cache = new_cache["h"], old_cache["h"]
     axes = tuple(range(1, new_cache.ndim))
     num = jnp.sum(jnp.abs(new_cache.astype(jnp.float32)
                           - old_cache.astype(jnp.float32)), axis=axes)
@@ -252,7 +264,7 @@ def ddim_sample_loop(
     if caching:
         from .stepcache import StepCacheConfig, pattern_flags
         cfg = cache_cfg or StepCacheConfig()
-        L = step_cache0.shape[0]
+        L = _cache_layers(step_cache0)
         flags_np = (np.zeros((d.num_timesteps, L), bool) if collect
                     else pattern_flags(d.num_timesteps, L, cfg))
         xs = (ts, jnp.asarray(flags_np))
@@ -332,7 +344,7 @@ def ddim_sample_loop_harmonize(
         if getattr(cfg, "collect_errors", False):
             raise NotImplementedError(
                 "collect_errors calibration runs on the plain DDIM loop")
-        flags = jnp.asarray(pattern_flags(len(pairs), step_cache0.shape[0],
+        flags = jnp.asarray(pattern_flags(len(pairs), _cache_layers(step_cache0),
                                           cfg, denoise_mask=denoise_np))
     else:
         flags = jnp.zeros((len(pairs), 0), bool)

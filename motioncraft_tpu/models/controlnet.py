@@ -176,10 +176,83 @@ class ControlT2MHalf(nn.Module):
                 h = blocks[i](h, **kw)
         return h
 
+    # --------------------------------------------------------- step caching
+    @property
+    def supports_step_cache(self):
+        """SmoothCache layer-residual reuse (diffusion/stepcache.py); the
+        MCM block type keeps a different eval protocol and is not wired."""
+        return self.block_type == "stmogen"
+
+    def make_step_cache(self, B: int, T: int, dtype=jnp.float32):
+        """Dict cache: "h" = per-layer output residuals (the reuse table's
+        layer axis, [L, 2B, T/patch, latent]); "c" = the control branch's
+        per-control-layer ``c`` outputs ([copy, 2B, T/patch, latent]) — a
+        reused control layer replays BOTH its h-residual (incl. the c_skip
+        injection) and its c output, so the chain downstream stays
+        consistent.  Called on the unbound module: reads config only."""
+        cfg = dict(self.base_model or {})
+        L, latent = cfg.get("num_layers", 8), cfg["latent_dim"]
+        Tp = T // self.patch_size
+        return {"h": jnp.zeros((L, 2 * B, Tp, latent), dtype),
+                "c": jnp.zeros((self.copy_blocks_num, 2 * B, Tp, latent),
+                               dtype)}
+
+    def _stack_cached(self, h, xf_out, emb, src_mask, cond_type, motion_length,
+                      num_intervals, c, step_cache, cache_flags):
+        """Decoder stack with per-layer residual reuse under real
+        ``lax.cond`` branches (inference only — no sown variables).  A
+        control-injected layer (1..copy_blocks_num) is cached as the
+        COMPOUND (control block + base block): its reuse replays the cached
+        h-residual and cached c output together."""
+        kw = dict(xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
+                  motion_length=motion_length, num_intervals=num_intervals,
+                  train=False)
+        blocks = self.base.temporal_decoder_blocks
+        init = self.is_initializing()
+        new_h, new_c = [], []
+
+        def run(i, hh, cc):
+            """Layer i compute: returns (h_out, h_residual, c_out)."""
+            if c is not None and 1 <= i <= self.copy_blocks_num:
+                c_new, c_skip = self.controlnet[i - 1](hh, cc, **kw)
+                out = blocks[i](hh + c_skip, **kw)
+                return out, out - hh, c_new
+            out = blocks[i](hh, **kw)
+            return out, out - hh, cc
+
+        cur_c = c
+        for i in range(len(blocks)):
+            ctrl = c is not None and 1 <= i <= self.copy_blocks_num
+
+            def compute(hh, i=i, ctrl=ctrl):
+                out, r, c_new = run(i, hh, cur_c)
+                return (out, r, c_new) if ctrl else (out, r)
+
+            def reuse(hh, i=i, ctrl=ctrl):
+                r = step_cache["h"][i].astype(hh.dtype)
+                if ctrl:
+                    return hh + r, r, step_cache["c"][i - 1].astype(hh.dtype)
+                return hh + r, r
+
+            if init:
+                res = compute(h)
+            else:
+                res = jax.lax.cond(cache_flags[i], reuse, compute, h)
+            if ctrl:
+                h, r, cur_c = res
+                new_c.append(cur_c)
+            else:
+                h, r = res
+            new_h.append(r)
+        cache = {"h": jnp.stack(new_h),
+                 "c": (jnp.stack(new_c) if new_c
+                       else jnp.zeros_like(step_cache["c"]))}
+        return h, cache
+
     def __call__(self, motion, timesteps, motion_mask=None, motion_length=None,
                  xf_out=None, xf_proj=None, num_intervals: int = 1, cond_type=None,
                  c=None, c_enc=None, mode: str = "test", train: bool = False,
-                 **kwargs):
+                 step_cache=None, cache_flags=None, **kwargs):
         src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
         h, emb = self.base._embed(motion, timesteps)
         if self.base.use_text_proj and xf_proj is not None:
@@ -213,11 +286,21 @@ class ControlT2MHalf(nn.Module):
                 c2 = rep(c)
                 if self.condition_cfg_enabled:
                     c2 = c2 * all_cond.astype(c2.dtype)
-            h2 = self._stack(h2, xf2, emb2, mask2, all_cond, ml2, num_intervals,
-                             c2, False)
+            new_cache = None
+            if step_cache is not None:
+                h2, new_cache = self._stack_cached(
+                    h2, xf2, emb2, mask2, all_cond, ml2, num_intervals, c2,
+                    step_cache, cache_flags)
+            else:
+                h2 = self._stack(h2, xf2, emb2, mask2, all_cond, ml2,
+                                 num_intervals, c2, False)
             out = self.base.out(h2).reshape(2 * B, T_out, -1)
             text_coef, none_coef = self.base.scale_func(timesteps[0])
             output = out[:B] * text_coef + out[B:] * none_coef
+            if new_cache is not None:
+                if self.base.use_residual_connection:
+                    output = motion + output
+                return output, new_cache
         if self.base.use_residual_connection:
             output = motion + output
         return output

@@ -231,3 +231,132 @@ def test_guards(arch_and_vars):
                         step_cache=StepCacheConfig(collect_errors=True))
     finally:
         arch.repaint_cfg = old
+
+
+# ------------------------------------------------ ControlNet (S2G) caching
+
+@pytest.fixture(scope="module")
+def s2g_arch_and_vars():
+    """Tiny ControlNet S2G arch for cached-sampler parity (the long-form
+    protocol's model; reference controlnet.py:108-465)."""
+    from motioncraft_tpu.registry import build_architecture
+    heads, lat, T = 12, 8, 16
+    base = dict(type="STMoGenTransformer", input_feats=322, max_seq_len=T,
+                latent_dim=lat * heads, time_embed_dim=32, num_layers=3,
+                ca_block_cfg=dict(type="STMA", latent_dim=lat,
+                                  text_latent_dim=16, num_heads=heads,
+                                  num_text_heads=1, num_experts=4, topk=2,
+                                  gate_type="cosine_top", gate_noise=0.0,
+                                  ffn_dim=16, time_embed_dim=32,
+                                  max_seq_len=T, max_text_seq_len=77,
+                                  temporal_comb=False, dropout=0),
+                ffn_cfg=dict(latent_dim=lat, ffn_dim=16, dropout=0,
+                             time_embed_dim=32, num_heads=heads),
+                text_encoder=dict(pretrained_model="clip", latent_dim=16,
+                                  num_layers=1, ff_size=16, dropout=0,
+                                  use_text_proj=False, clip_width=32,
+                                  clip_layers=1),
+                pose_encoder_cfg=dict(dataset_name="motionx", latent_dim=lat,
+                                      input_dim=322),
+                pose_decoder_cfg=dict(dataset_name="motionx", latent_dim=lat,
+                                      output_dim=322),
+                scale_func_cfg=dict(scale=6.5))
+    cfg = dict(type="MotionDiffusion",
+               model=dict(type="ControlT2MHalf", base_model=base,
+                          copy_blocks_num=1, control_cond_feats=2,
+                          condition_encode_cfg=dict(
+                              dataset_name="beats2",
+                              condition_pre_encode=True,
+                              condition_pre_encode_type="wav",
+                              condition_latent_dim=16,
+                              control_cond_feats=2, condition_cfg=True)),
+               loss_recon=dict(type="MSELoss", loss_weight=1,
+                               reduction="none"),
+               diffusion_train=dict(beta_scheduler="linear",
+                                    diffusion_steps=1000,
+                                    model_mean_type="start_x",
+                                    model_var_type="fixed_large"),
+               diffusion_test=dict(beta_scheduler="linear",
+                                   diffusion_steps=1000,
+                                   model_mean_type="start_x",
+                                   model_var_type="fixed_large", respace="6"),
+               inference_type="ddim", loss_reduction="batch",
+               repaint=dict(overlap_len=4, add_blend=True, jump_length=3,
+                            jump_n_sample=2))
+    arch = build_architecture(cfg)
+    rate = 16000 // 30
+    batch = make_text_batch(["someone speaks", "someone else speaks"],
+                            max_seq_len=16)
+    batch["c"] = np.random.RandomState(0).randn(2, 16 * rate, 2).astype(np.float32)
+    variables = arch.init(jax.random.PRNGKey(0), batch)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    ks = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+              if jnp.issubdtype(l.dtype, jnp.floating) else l
+              for l, k in zip(leaves, ks)]
+    return arch, jax.tree_util.tree_unflatten(treedef, leaves), batch
+
+
+def test_controlnet_all_compute_is_exact(s2g_arch_and_vars):
+    """All-compute flags through the dict {h, c} cache are bit-identical to
+    the uncached ControlNet sampler (incl. the c_skip-injected layers)."""
+    arch, variables, batch = s2g_arch_and_vars
+    rng = jax.random.PRNGKey(7)
+    base = jax.jit(arch.sample)(variables, batch, rng)
+    cfg = StepCacheConfig(reuse_every=1, warmup=1, tail=0)
+    cached = jax.jit(lambda v, b, r: arch.sample(v, b, r, step_cache=cfg))(
+        variables, batch, rng)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(cached))
+
+
+def test_controlnet_reuse_runs_and_differs(s2g_arch_and_vars):
+    """A real reuse pattern produces finite output that differs from exact
+    (the cond actually took the reuse branch) but stays close (the
+    SmoothCache premise holds for the control-injected chain too)."""
+    arch, variables, batch = s2g_arch_and_vars
+    rng = jax.random.PRNGKey(7)
+    base = np.asarray(jax.jit(arch.sample)(variables, batch, rng))
+    cfg = StepCacheConfig(reuse_every=2, warmup=1, tail=1)
+    reuse = np.asarray(jax.jit(
+        lambda v, b, r: arch.sample(v, b, r, step_cache=cfg))(
+        variables, batch, rng))
+    assert np.isfinite(reuse).all()
+    assert np.abs(reuse - base).max() > 0
+    denom = max(1.0, float(np.abs(base).max()))
+    assert np.abs(reuse - base).max() / denom < 0.5
+
+
+def test_windowed_step_cache_all_compute_exact(s2g_arch_and_vars):
+    """step_cache threads through the windowed long-form path: all-compute
+    flags reproduce the uncached windowed output bit-for-bit (incl. the
+    RePaint harmonized windows)."""
+    from motioncraft_tpu.apis.windowed import windowed_sample
+
+    arch, variables, batch = s2g_arch_and_vars
+    rate = 16000 // 30
+    total, window, pre = 40, 16, 4
+    audio = np.random.RandomState(3).randn(total * rate, 2).astype(np.float32)
+
+    def maker(start, end):
+        b = make_text_batch(["someone speaks"], max_seq_len=window)
+        b["c"] = audio[start * rate:end * rate][None]
+        return b
+
+    kw = dict(total_frames=total, window=window, pre_frames=pre,
+              use_repaint=True, repaint=RepaintConfig(overlap_len=pre,
+                                                      add_blend=True,
+                                                      jump_length=3,
+                                                      jump_n_sample=2))
+    base = windowed_sample(arch, variables, maker,
+                           rng=jax.random.PRNGKey(5), **kw)
+    exact = windowed_sample(arch, variables, maker,
+                            rng=jax.random.PRNGKey(5),
+                            step_cache=StepCacheConfig(reuse_every=1,
+                                                       warmup=1, tail=0),
+                            **kw)
+    np.testing.assert_array_equal(base, exact)
+    reuse = windowed_sample(arch, variables, maker,
+                            rng=jax.random.PRNGKey(5),
+                            step_cache=StepCacheConfig(reuse_every=2),
+                            **kw)
+    assert reuse.shape == base.shape and np.isfinite(reuse).all()

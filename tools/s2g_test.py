@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None, help="max recordings")
     p.add_argument("--no_repaint", action="store_true")
+    p.add_argument("--step-cache", type=int, default=0, metavar="N",
+                   help="SmoothCache-style layer-residual reuse across DDIM "
+                        "steps (diffusion/stepcache.py); 0 = off (exact), "
+                        "N>=2 = reuse period.  Approximate like --int8; "
+                        "stamped into the metrics flags")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 denoiser weights (ops/quant.py); "
                         "combine with --bf16 for bf16 activations")
@@ -189,8 +194,14 @@ def main():
     R = max(1, args.recording_batch)
     norm_preds = {}
     cdt = jnp.bfloat16 if args.bf16 else None
+    sc_cfg = None
+    if args.step_cache > 1:
+        from motioncraft_tpu.diffusion import StepCacheConfig
+        sc_cfg = StepCacheConfig(reuse_every=args.step_cache)
+    elif args.step_cache not in (0, 1):
+        raise SystemExit("--step-cache must be 0 (off) or >= 2")
     kw = dict(window=window, pre_frames=pre, use_repaint=not args.no_repaint,
-              repaint=arch.repaint_cfg, compute_dtype=cdt)
+              repaint=arch.repaint_cfg, compute_dtype=cdt, step_cache=sc_cfg)
     if R > 1:
         from motioncraft_tpu.apis.windowed import windowed_sample_batch
         for g0 in range(0, len(recordings), R):
@@ -294,10 +305,14 @@ def main():
         "untrained_evaluator": not getattr(fid_model, "pretrained_loaded", False),
         "hash_tokenizer": find_bpe_asset() is None,
         "int8_weights": bool(args.int8),
+        "step_cache": int(args.step_cache),
     }
     metrics["protocol"] = (flags["smplx_vertices"] and flags["mmae_asset"]
                            and not flags["untrained_evaluator"]
                            and not flags["hash_tokenizer"])
+    if flags["int8_weights"] or flags["step_cache"]:
+        print("NOTE: approximate sampling mode (int8/step-cache); compare "
+              "against an exact run before quoting numbers")
     metrics["flags"] = flags
     if not metrics["protocol"]:
         print("WARNING: run is NOT protocol-comparable:",
