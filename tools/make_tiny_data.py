@@ -84,11 +84,27 @@ def make_beat2(root, rng, t=200, sr=16000, fps=30):
         f.write("id,type\n" + "\n".join(rows) + "\n")
 
 
+def make_protocol_gt(root, rng, n=1000, t=196):
+    """Protocol-shaped synthetic Motion-X tree for the GT metric-floor
+    harness (configs/tests/protocol_gt.py): ~1k clips of 196x322, evaluated
+    at batch 32 x 20 replications — the reference protocol's counts
+    (configs/_base_/datasets/motionx_mix_bs128.py:89-111) on synthetic
+    gaussians.  ~250 MB; generated on demand, never committed."""
+    make_motionx(root, rng, n=n, t=t)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./data_tiny")
+    ap.add_argument("--protocol-gt", action="store_true",
+                    help="write a protocol-scale (1k clips x 196 frames) "
+                         "synthetic motionx tree instead of the tiny one")
     args = ap.parse_args()
     rng = np.random.RandomState(0)
+    if args.protocol_gt:
+        make_protocol_gt(args.root, rng)
+        print(f"protocol-gt data tree written under {args.root}")
+        return
     make_motionx(args.root, rng)
     make_finedance(args.root, rng)
     make_beat2(args.root, rng)
