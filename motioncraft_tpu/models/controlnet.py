@@ -223,15 +223,20 @@ class ControlT2MHalf(nn.Module):
         cur_c = c
         for i in range(len(blocks)):
             ctrl = c is not None and 1 <= i <= self.copy_blocks_num
+            # both cond branches must agree in dtype: the control chain can
+            # locally promote to f32 (e.g. f32 condition features mixing into
+            # a bf16 h), so pin every branch output to h's dtype
+            dt = h.dtype
 
-            def compute(hh, i=i, ctrl=ctrl):
+            def compute(hh, i=i, ctrl=ctrl, dt=dt):
                 out, r, c_new = run(i, hh, cur_c)
-                return (out, r, c_new) if ctrl else (out, r)
+                out, r = out.astype(dt), r.astype(dt)
+                return (out, r, c_new.astype(dt)) if ctrl else (out, r)
 
-            def reuse(hh, i=i, ctrl=ctrl):
-                r = step_cache["h"][i].astype(hh.dtype)
+            def reuse(hh, i=i, ctrl=ctrl, dt=dt):
+                r = step_cache["h"][i].astype(dt)
                 if ctrl:
-                    return hh + r, r, step_cache["c"][i - 1].astype(hh.dtype)
+                    return hh + r, r, step_cache["c"][i - 1].astype(dt)
                 return hh + r, r
 
             if init:
