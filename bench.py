@@ -45,6 +45,11 @@ def main():
                 "--step-cache must be 0 (off) or an integer >= 2")
         return n
 
+    ap.add_argument("--step-cache-table", default=None, metavar="PATH",
+                    help="calibrated per-(step, layer) reuse table "
+                         "(tools/calibrate_step_cache.py .npz/.json output, "
+                         "e.g. artifacts/step_cache_flagship.json); mutually "
+                         "exclusive with --step-cache N")
     ap.add_argument("--step-cache", type=step_cache_arg, default=0, metavar="N",
                     help="SmoothCache-style layer-residual reuse: recompute "
                          "each decoder layer every N-th DDIM step, replay the "
@@ -79,7 +84,16 @@ def main():
         variables = int8_quantize_variables(variables)
 
     step_cache = None
-    if args.step_cache > 1:
+    if args.step_cache_table is not None:
+        if args.step_cache > 1:
+            raise SystemExit("--step-cache and --step-cache-table are "
+                             "mutually exclusive")
+        from motioncraft_tpu.diffusion import StepCacheConfig, load_flags
+        table = load_flags(args.step_cache_table)
+        step_cache = StepCacheConfig(flags=table)
+        print(f"bench: calibrated step-cache table {args.step_cache_table} "
+              f"(reuse fraction {table.mean():.1%})", file=sys.stderr)
+    elif args.step_cache > 1:
         from motioncraft_tpu.diffusion import StepCacheConfig
         step_cache = StepCacheConfig(reuse_every=args.step_cache)
     sample_jit = jax.jit(lambda v, b, r: arch.sample(v, b, r,
@@ -127,14 +141,19 @@ def main():
         # (HBM pressure) — the per-batch sweet spot is narrow; see FIDELITY.md
         "batch_note": "B=64 is the 16GB-v5e sweet spot; B=128 regresses on HBM",
     }
-    if args.step_cache > 1:
+    if args.step_cache > 1 or args.step_cache_table:
         # approximate mode: never the headline protocol number
-        result["step_cache"] = args.step_cache
+        if args.step_cache_table:
+            result["step_cache_table"] = args.step_cache_table
+            result["step_cache_reuse_fraction"] = round(
+                float(step_cache.flags.mean()), 4)
+        else:
+            result["step_cache"] = args.step_cache
         result["metric"] = "t2m_ddim50_stepcache_throughput"
     mfu = compute_mfu(arch, variables, batch, compute_dtype, dt / iters)
     if mfu is not None:
         result["mfu"] = round(mfu, 4)
-        if args.step_cache > 1:
+        if args.step_cache > 1 or args.step_cache_table:
             # the FLOP count assumes every layer computes at every step;
             # with reuse flags set this reads as EFFECTIVE utilization
             result["mfu_note"] = ("effective (counts skipped layer FLOPs "

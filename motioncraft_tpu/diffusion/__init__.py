@@ -9,4 +9,5 @@ from .samplers import (LossSecondMomentResampler, ScheduleSampler, UniformSample
 from .schedules import (betas_for_alpha_bar, get_named_beta_schedule,
                         get_schedule_jump, get_schedule_jump_cjm_ddim,
                         get_schedule_jump_paper, space_timesteps)
-from .stepcache import StepCacheConfig, flags_from_errors, pattern_flags
+from .stepcache import (StepCacheConfig, flags_from_errors, load_flags,
+                        pattern_flags)

@@ -130,3 +130,15 @@ def flags_from_errors(errors: np.ndarray, threshold: float,
             else:
                 streak[l] = 0
     return flags
+
+
+def load_flags(path: str) -> np.ndarray:
+    """Load a calibrated [steps, layers] reuse table written by
+    ``tools/calibrate_step_cache.py`` — either its ``.npz`` output or its
+    ``--json`` artifact (e.g. ``artifacts/step_cache_flagship.json``)."""
+    if path.endswith(".json"):
+        import json
+        with open(path) as f:
+            table = json.load(f)["flags"]
+        return np.asarray(table, dtype=bool)
+    return np.load(path)["flags"].astype(bool)

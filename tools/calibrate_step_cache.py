@@ -37,7 +37,22 @@ def parse_args():
                    help="probe batches to average errors over")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--perturb", type=float, default=0.0, metavar="SCALE",
+                   help="add SCALE*N(0,1) to every float param before probing."
+                        " REQUIRED for random-init mechanics runs: the DiT "
+                        "blocks' output projections are zero-initialised, so "
+                        "an untouched random-init model has exactly-zero "
+                        "layer residuals and a vacuous (all-zero) error "
+                        "profile. Leave at 0 for trained checkpoints.")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--note", default=None,
+                   help="free-form provenance note recorded in the --json "
+                        "artifact (e.g. what the probed checkpoint was "
+                        "trained on)")
+    p.add_argument("--json", default=None, metavar="PATH",
+                   help="also write a human-readable JSON artifact (error "
+                        "profile + flag table + threshold + provenance), e.g. "
+                        "artifacts/step_cache_flagship.json")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -77,6 +92,15 @@ def main():
     variables = load_eval_variables(cfg.model, variables,
                                     checkpoint=args.checkpoint,
                                     torch_checkpoint=args.torch_checkpoint)
+    if args.perturb:
+        # break the zero-init output heads so a random-init probe measures
+        # real residual dynamics (mirrors tests/test_step_cache.py's fixture)
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        ks = jax.random.split(jax.random.PRNGKey(args.seed + 7), len(leaves))
+        leaves = [l + args.perturb * jax.random.normal(k, l.shape, l.dtype)
+                  if jnp.issubdtype(l.dtype, jnp.floating) else l
+                  for l, k in zip(leaves, ks)]
+        variables = jax.tree_util.tree_unflatten(treedef, leaves)
     cdt = None
     if args.bf16:
         from motioncraft_tpu.apis import bf16_cast_variables
@@ -100,6 +124,14 @@ def main():
                                          jax.random.fold_in(rng, i))))
         print(f"probe batch {i + 1}/{args.batches} done", file=sys.stderr)
     errors = np.mean(errs, axis=0)
+    if not (errors[1:] > 0).any():
+        raise SystemExit(
+            "vacuous error profile: every layer residual is identically zero "
+            "from step 1 on. This is the zero-init signature — the DiT "
+            "blocks' output projections start at exactly zero, so a "
+            "random-init model has no residual dynamics to calibrate "
+            "against. Pass --perturb 0.05 for a mechanics run, or "
+            "--checkpoint/--torch-checkpoint for a deployable table.")
 
     flags = flags_from_errors(errors, threshold=args.threshold,
                               max_consecutive=args.max_consecutive,
@@ -107,6 +139,37 @@ def main():
     saved = flags.mean()
     np.savez(args.out, errors=errors, flags=flags,
              threshold=args.threshold, max_consecutive=args.max_consecutive)
+    if args.json:
+        import json
+        artifact = {
+            "config": os.path.relpath(args.config),
+            "platform": jax.devices()[0].platform,
+            "threshold": args.threshold,
+            "max_consecutive": args.max_consecutive,
+            "tail": args.tail,
+            "batches": len(errs),
+            "batch_size": bs,
+            "seed": args.seed,
+            "bf16": bool(args.bf16),
+            # honesty flag: with no checkpoint the probe runs on random-init
+            # weights, which validates the calibration *mechanics*; re-run
+            # with --checkpoint/--torch-checkpoint for a deployable table
+            "random_weights": args.checkpoint is None
+                              and args.torch_checkpoint is None,
+            "perturb": args.perturb,
+            "checkpoint": args.checkpoint or args.torch_checkpoint,
+            "note": args.note,
+            "steps": int(errors.shape[0]),
+            "layers": int(errors.shape[1]),
+            "reuse_fraction": float(saved),
+            "per_step_mean_error": [round(float(x), 6)
+                                    for x in errors.mean(axis=1)],
+            "errors": [[round(float(x), 6) for x in row] for row in errors],
+            "flags": flags.astype(int).tolist(),
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"json artifact -> {args.json}")
     print(f"steps={errors.shape[0]} layers={errors.shape[1]} "
           f"reuse fraction={saved:.1%} (≈{saved:.1%} of decoder-layer "
           f"compute skipped)\nsaved -> {args.out}")

@@ -51,6 +51,11 @@ def parse_args():
                         "its cached residual otherwise (diffusion/stepcache"
                         ".py). 0 = off (exact, default); approximate like "
                         "--int8 and stamped into metrics.json")
+    p.add_argument("--step-cache-table", default=None, metavar="PATH",
+                   help="calibrated per-(step, layer) reuse table from "
+                        "tools/calibrate_step_cache.py (.npz or .json, e.g. "
+                        "artifacts/step_cache_flagship.json); mutually "
+                        "exclusive with --step-cache N")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute (params cast + compute_dtype; "
                         "diffusion schedule and metric math stay f32)")
@@ -121,7 +126,17 @@ def main():
             print(f"int8: quantized {_n} weights ({_e / 1e6:.1f}M params)")
     cdt = jnp.bfloat16 if args.bf16 else None
     step_cache = None
-    if args.step_cache > 1:
+    if args.step_cache_table is not None:
+        if args.step_cache > 1:
+            raise SystemExit("--step-cache and --step-cache-table are "
+                             "mutually exclusive")
+        from motioncraft_tpu.diffusion import StepCacheConfig, load_flags
+        table = load_flags(args.step_cache_table)
+        step_cache = StepCacheConfig(flags=table)
+        print(f"step-cache table {args.step_cache_table}: "
+              f"{table.shape[0]} steps x {table.shape[1]} layers, "
+              f"reuse fraction {table.mean():.1%}")
+    elif args.step_cache > 1:
         from motioncraft_tpu.diffusion import StepCacheConfig
         step_cache = StepCacheConfig(reuse_every=args.step_cache)
 
@@ -153,21 +168,24 @@ def main():
         "hash_tokenizer": find_bpe_asset() is None,
         "int8_weights": bool(args.int8),
         "step_cache": int(args.step_cache),
+        "step_cache_table": args.step_cache_table,
     }
+    _approx_keys = ("int8_weights", "step_cache", "step_cache_table")
     out["protocol"] = not any(
-        v for k, v in flags.items() if k not in ("int8_weights", "step_cache"))
+        v for k, v in flags.items() if k not in _approx_keys)
     out["flags"] = flags
     if not out["protocol"]:
         print("WARNING: run is NOT protocol-comparable:", flags)
-    elif flags["int8_weights"] or flags["step_cache"]:
+    elif any(flags[k] for k in _approx_keys):
         # protocol stays true (evaluator/tokenizer semantics are intact) but
         # the sampler output is approximate — say so loudly, not only in the
         # flags dict
         print("NOTE: approximate sampling mode "
               f"(int8_weights={flags['int8_weights']}, "
-              f"step_cache={flags['step_cache']}); metric deltas vs the "
-              "exact bf16 run are expected — compare against an exact run "
-              "before quoting numbers")
+              f"step_cache={flags['step_cache']}, "
+              f"step_cache_table={flags['step_cache_table']}); metric deltas "
+              "vs the exact bf16 run are expected — compare against an exact "
+              "run before quoting numbers")
     with open(os.path.join(args.work_dir, "metrics.json"), "w") as f:
         json.dump(out, f, indent=2)
 
