@@ -32,10 +32,13 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--quick", action="store_true", help="small model + batch smoke run")
-    ap.add_argument("--dtype", choices=["f32", "bf16", "int8"], default="bf16",
+    ap.add_argument("--dtype", choices=["f32", "bf16", "int8", "int8w"],
+                    default="bf16",
                     help="denoiser compute dtype (diffusion math stays f32); "
                          "int8 = bf16 activations + W8A8 int8 weights on the "
-                         "audited hot path (ops/quant.py)")
+                         "audited hot path (ops/quant.py); int8w = W8 "
+                         "weight-only (int8 weights dequantized into the "
+                         "float dots, no activation quant)")
     ap.add_argument("--no-s2g", action="store_true",
                     help="skip the long-form S2G windows/min secondary metric")
     def step_cache_arg(v):
@@ -75,13 +78,14 @@ def main():
     variables = arch.init(rng, batch)
 
     compute_dtype = None
-    if args.dtype in ("bf16", "int8"):
+    if args.dtype in ("bf16", "int8", "int8w"):
         from motioncraft_tpu.apis import bf16_cast_variables
         compute_dtype = jnp.bfloat16
         variables = bf16_cast_variables(variables)
-    if args.dtype == "int8":
+    if args.dtype in ("int8", "int8w"):
         from motioncraft_tpu.apis import int8_quantize_variables
-        variables = int8_quantize_variables(variables)
+        variables = int8_quantize_variables(
+            variables, weight_only=args.dtype == "int8w")
 
     step_cache = None
     if args.step_cache_table is not None:
@@ -141,6 +145,8 @@ def main():
         # (HBM pressure) — the per-batch sweet spot is narrow; see FIDELITY.md
         "batch_note": "B=64 is the 16GB-v5e sweet spot; B=128 regresses on HBM",
     }
+    if args.dtype != "bf16":
+        result["dtype"] = args.dtype
     if args.step_cache > 1 or args.step_cache_table:
         # approximate mode: never the headline protocol number
         if args.step_cache_table:
@@ -159,7 +165,7 @@ def main():
             result["mfu_note"] = ("effective (counts skipped layer FLOPs "
                                   "as done)")
     if not args.no_s2g and not args.quick:
-        int8 = args.dtype == "int8"
+        int8 = args.dtype if args.dtype in ("int8", "int8w") else None
         sc = args.step_cache if args.step_cache > 1 else None
         try:
             result["s2g_windows_per_min"] = round(
@@ -219,7 +225,7 @@ def compute_mfu(arch, variables, batch, compute_dtype, sec_per_call):
 
 
 def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
-                      recording_batch=1, int8=False, step_cache=None):
+                      recording_batch=1, int8=None, step_cache=None):
     """Long-form S2G throughput: RePaint-outpainted 64-frame windows over
     synthetic recordings (the reference protocol's hot loop,
     tools/s2g_test.py:120-260).  recording_batch=1 is the sequential
@@ -244,9 +250,10 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
     from motioncraft_tpu.apis import bf16_cast_variables
     variables = bf16_cast_variables(
         arch.init(jax.random.PRNGKey(0), make_window_batch(0, window)))
-    if int8:
+    if int8:  # "int8" (W8A8) or "int8w" (weight-only)
         from motioncraft_tpu.apis import int8_quantize_variables
-        variables = int8_quantize_variables(variables)
+        variables = int8_quantize_variables(variables,
+                                            weight_only=int8 == "int8w")
     repaint = RepaintConfig(overlap_len=pre, add_blend=True, jump_length=3,
                             jump_n_sample=2)
     sc_cfg = None

@@ -93,9 +93,10 @@ def bf16_cast_variables(variables):
 
 
 def int8_quantize_variables(variables, **kwargs):
-    """Rewrite the audited denoiser hot-path weights to int8 (W8A8 dynamic
-    serving path — see ops/quant.py).  Apply AFTER ``bf16_cast_variables``
-    so the per-channel scales stay f32.  Opt-in, inference only."""
+    """Rewrite the audited denoiser hot-path weights to int8 (see
+    ops/quant.py; W8A8 dynamic by default, ``weight_only=True`` for the W8
+    dequant-into-float-dot mode).  Apply AFTER ``bf16_cast_variables`` so
+    the per-channel scales stay f32.  Opt-in, inference only."""
     from ..ops.quant import quantize_variables
     return quantize_variables(variables, **kwargs)
 

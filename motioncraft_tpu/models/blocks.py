@@ -51,11 +51,13 @@ normal_init = nn.initializers.normal(stddev=1.0)
 
 
 class QDense(nn.Dense):
-    """nn.Dense that runs the int8 W8A8 path when its kernel has been
-    rewritten to int8 by ``ops.quant.quantize_variables`` (per-out-channel
-    scale read from the parallel 'quant' collection).  Bit-identical to
-    nn.Dense for float kernels; used at every denoiser hot-path call site
-    so inference weights can be served quantized (see ops/quant.py)."""
+    """nn.Dense that runs an int8 path when its kernel has been rewritten to
+    int8 by ``ops.quant.quantize_variables``: W8A8 (dynamic activation quant
+    onto the int8 MXU) when the scale leaf is ``kernel_scale``, or W8
+    weight-only (int8 weights dequantized into the float dot — the scale
+    leaf is ``kernel_wscale``).  Bit-identical to nn.Dense for float
+    kernels; used at every denoiser hot-path call site so inference weights
+    can be served quantized (see ops/quant.py)."""
 
     @nn.compact
     def __call__(self, inputs):
@@ -65,6 +67,18 @@ class QDense(nn.Dense):
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
         if kernel.dtype == jnp.int8:
+            if self.has_variable("quant", "kernel_wscale"):
+                # weight-only: dequant fuses into the dot's operand read.
+                # Like the W8A8 branch, the output keeps the activation
+                # dtype (an f32 bias must not promote bf16 activations).
+                from ..ops.quant import dequant
+                kernel = dequant(kernel,
+                                 self.get_variable("quant", "kernel_wscale"),
+                                 self.dtype or inputs.dtype)
+                y = jax.lax.dot_general(
+                    inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())),
+                    precision=self.precision)
+                return y + bias.astype(y.dtype) if bias is not None else y
             from ..ops.quant import qdot
             scale = self.get_variable("quant", "kernel_scale")
             y = qdot(inputs, kernel, scale)
@@ -161,6 +175,13 @@ class SFFN(nn.Module):
         b1 = self.param("b1", zeros_init, (H, f))
         w2 = self.param("w2", nn.initializers.lecun_normal(), (H, f, d))
         b2 = self.param("b2", zeros_init, (H, d))
+        if w1.dtype == jnp.int8 and self.has_variable("quant", "w1_wscale"):
+            # W8 weight-only (ops/quant.py): dequantize the stacked weights
+            # into the float einsums — the convert+scale fuses into the
+            # contraction's operand read, so HBM streams int8 bytes
+            from ..ops.quant import dequant
+            w1 = dequant(w1, self.get_variable("quant", "w1_wscale"), x.dtype)
+            w2 = dequant(w2, self.get_variable("quant", "w2_wscale"), x.dtype)
         if w1.dtype == jnp.int8:
             # quantized serving path (ops/quant.py): per-(head, out-channel)
             # weight scales, dynamic per-row activation scales, int8 MXU dots

@@ -193,10 +193,21 @@ class MoELayer(nn.Module):
 
         token_ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                                      (N, K)).reshape(-1)
-        # int8-quantized expert weights (ops/quant.py) run through the slot
-        # path: lax.ragged_dot has no int8 overload and the Pallas grouped
-        # kernel is float-only, but the [E, C, D] einsum pair maps directly
-        # onto the MXU's native int8 path
+        # W8 weight-only expert weights (ops/quant.py): dequantize into the
+        # normal float dispatch paths (ragged/fused/slot all work) — the
+        # convert+scale fuses into the grouped matmuls' operand reads, so
+        # expert weights stream from HBM as int8
+        if (w1.dtype == jnp.int8
+                and self.has_variable("quant", "expert_w1_wscale")):
+            from ..ops.quant import dequant
+            w1 = dequant(w1, self.get_variable("quant", "expert_w1_wscale"),
+                         x.dtype)
+            w2 = dequant(w2, self.get_variable("quant", "expert_w2_wscale"),
+                         x.dtype)
+        # W8A8 int8 expert weights run through the slot path: lax.ragged_dot
+        # has no int8 overload and the Pallas grouped kernel is float-only,
+        # but the [E, C, D] einsum pair maps directly onto the MXU's native
+        # int8 path
         is_q = w1.dtype == jnp.int8
         if self._use_ragged(train) and not is_q:
             # Rank-compact dispatch (megablocks-style): the kept (token, k)

@@ -1,4 +1,4 @@
-"""Int8 weight quantization (W8A8 dynamic) for inference.
+"""Int8 weight quantization (W8A8 dynamic and W8 weight-only) for inference.
 
 Motivation (FIDELITY.md round-3 perf notes): the long-form S2G/M2D protocol
 runs the CFG denoiser at tiny batches (B=2 rows per window step), where the
@@ -8,12 +8,26 @@ bytes, and the int8 x int8 -> int32 `dot_general` maps to the TPU MXU's
 native int8 path (2x the bf16 peak on v5e), so the large-batch T2M path is
 not hurt either.
 
-Scheme: symmetric per-output-channel weight scales (computed once, offline,
-by `quantize_variables`) + symmetric per-row dynamic activation scales
-(computed inside the forward; fused by XLA into the surrounding elementwise
-work).  Accumulation in int32, rescale in f32, output in the activation
-dtype.  This is the standard W8A8-dynamic recipe; no calibration data is
-needed.
+Two compute modes over the SAME int8 storage:
+
+- **W8A8 dynamic** (``weight_only=False``, the round-3 path): symmetric
+  per-output-channel weight scales (computed once, offline, by
+  `quantize_variables`) + symmetric per-row dynamic activation scales
+  (computed inside the forward).  Accumulation in int32, rescale in f32,
+  output in the activation dtype.  The standard W8A8-dynamic recipe; no
+  calibration data needed.  Measured round 4: the per-row activation
+  quantize/dequant is VPU work on every dot's critical path and LOSES
+  throughput at this model's shapes (FIDELITY.md round-4 table).
+- **W8 weight-only** (``weight_only=True``): weights stay int8 in HBM and
+  are dequantized to the activation dtype on the fly (`dequant`), feeding
+  the NORMAL float dot — no activation quantization at all.  The int8→bf16
+  convert-and-scale is a pure elementwise producer XLA fuses into the
+  matmul's operand read, so the weight-streaming-bound B=2 long-form floor
+  sees ~half the HBM weight bytes with zero extra critical-path work, and
+  the quantization error is weight rounding only (strictly smaller than
+  W8A8's).  The mode is encoded STRUCTURALLY: scales are recorded under the
+  leaf name ``<name>_wscale`` (vs ``<name>_scale``), so consumers pick the
+  branch via ``has_variable`` — a trace-time-static decision.
 
 The reference has no quantized path (pure fp torch); this is a TPU-native
 serving feature beyond parity.  It is opt-in: `quantize_variables` rewrites
@@ -76,6 +90,14 @@ def _quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return xq, ax
 
 
+def dequant(wq: jnp.ndarray, wscale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Weight-only dequantization: ``wq * wscale`` cast to the activation
+    dtype.  A pure elementwise producer — under jit XLA fuses it into the
+    consuming matmul's operand read, so the weight array crossing HBM stays
+    int8 (half the bytes of bf16)."""
+    return (wq.astype(jnp.float32) * wscale).astype(dtype)
+
+
 def qdot(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray) -> jnp.ndarray:
     """``x @ dequant(wq)`` via the int8 MXU path.
 
@@ -116,7 +138,8 @@ def _path_str(path) -> str:
 def quantize_variables(variables, *, include: Optional[re.Pattern] = None,
                        exclude: Optional[re.Pattern] = None,
                        min_elems: int = 1 << 15,
-                       predicate: Optional[Callable[[str, jnp.ndarray], bool]] = None):
+                       predicate: Optional[Callable[[str, jnp.ndarray], bool]] = None,
+                       weight_only: bool = False):
     """Rewrite eligible weights in ``variables['params']`` to int8 and record
     their scales in a parallel ``variables['quant']`` collection.
 
@@ -125,6 +148,12 @@ def quantize_variables(variables, *, include: Optional[re.Pattern] = None,
     whose path matches the audited include pattern and not the exclude
     pattern.  ``predicate(path, leaf)`` overrides the path filters entirely
     when given.
+
+    ``weight_only=True`` records scales under ``<name>_wscale`` instead of
+    ``<name>_scale``: consumers then dequantize the int8 weight into the
+    float dot (W8 mode, no activation quantization) instead of running the
+    W8A8 int8-MXU path.  Same storage, same scales — only the compute mode
+    differs, selected statically by the scale leaf's name.
 
     Returns a NEW variables dict; the input is not mutated.  Idempotent
     (int8 leaves are skipped).
@@ -162,7 +191,7 @@ def quantize_variables(variables, *, include: Optional[re.Pattern] = None,
         parts = path_s.strip("/").split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1] + "_scale"] = scale
+        node[parts[-1] + ("_wscale" if weight_only else "_scale")] = scale
         n_q += 1
 
     if not n_q:

@@ -213,3 +213,113 @@ def test_quantize_after_bf16_cast(tiny_arch_and_vars):
     s = arch.sample(vq, batch, jax.random.PRNGKey(4),
                     compute_dtype=jnp.bfloat16)
     assert np.isfinite(np.asarray(s, np.float32)).all()
+
+
+# ---- W8 weight-only mode (round 4): same int8 storage, scales recorded as
+# <name>_wscale, consumers dequantize into the float dots (no activation
+# quantization; error is weight rounding only, strictly below W8A8's) ------
+
+
+def test_qdense_weight_only_exact_dequant():
+    """W8 QDense == nn.Dense on the dequantized weight, bit for bit."""
+    x = jax.random.normal(jax.random.PRNGKey(20), (6, 80))
+    q = QDense(56)
+    v = q.init(jax.random.PRNGKey(21), x)
+    wq, s = quantize_weight(v["params"]["kernel"], 0)
+    vw = {"params": {"kernel": wq, "bias": v["params"]["bias"]},
+          "quant": {"kernel_wscale": s}}
+    y_w = q.apply(vw, x)
+    wdq = (wq.astype(jnp.float32) * s).astype(x.dtype)
+    y_ref = q.apply({"params": {"kernel": wdq, "bias": v["params"]["bias"]}}, x)
+    assert np.array_equal(np.asarray(y_w), np.asarray(y_ref))
+    # bf16 activations stay bf16
+    assert q.apply(vw, x.astype(jnp.bfloat16)).dtype == jnp.bfloat16
+
+
+def test_qdense_weight_only_beats_w8a8():
+    """No activation quantization -> W8 error is below the W8A8 error."""
+    x = jax.random.normal(jax.random.PRNGKey(22), (16, 96))
+    q = QDense(64, use_bias=False)
+    v = q.init(jax.random.PRNGKey(23), x)
+    y_f = q.apply(v, x)
+    wq, s = quantize_weight(v["params"]["kernel"], 0)
+    y_w8 = q.apply({"params": {"kernel": wq}, "quant": {"kernel_wscale": s}}, x)
+    y_a8 = q.apply({"params": {"kernel": wq}, "quant": {"kernel_scale": s}}, x)
+    assert _rel(y_w8, y_f) < 0.01
+    assert _rel(y_w8, y_f) <= _rel(y_a8, y_f) + 1e-6
+
+
+def test_quantize_variables_weight_only_leaf_names():
+    big = jnp.ones((32, 32), jnp.float32) * 0.5
+    v = {"params": {"model": {"ffn": {"linear1": {"kernel": big}}}}}
+    vw = quantize_variables(v, min_elems=0, weight_only=True)
+    q = vw["quant"]["model"]["ffn"]["linear1"]
+    assert "kernel_wscale" in q and "kernel_scale" not in q
+    assert vw["params"]["model"]["ffn"]["linear1"]["kernel"].dtype == jnp.int8
+
+
+def test_sffn_weight_only_matches_float():
+    B, T, H, d, f = 2, 7, 4, 16, 32
+    x = jax.random.normal(jax.random.PRNGKey(24), (B, T, H * d))
+    emb = jax.random.normal(jax.random.PRNGKey(25), (B, 64))
+    mod = SFFN(latent_dim=d, ffn_dim=f, num_heads=H, time_embed_dim=64)
+    v = mod.init(jax.random.PRNGKey(26), x, emb)
+    y_ref = mod.apply(v, x, emb)
+    vw = quantize_variables(v, min_elems=0, weight_only=True,
+                            predicate=lambda p, l: p.endswith(("/w1", "/w2")))
+    assert count_quantized(vw)[0] == 2
+    assert _rel(mod.apply(vw, x, emb), y_ref) < 0.02
+
+
+def test_moe_weight_only_keeps_ragged_path():
+    """Unlike W8A8 (slot-path reroute), weight-only dequantizes into the
+    normal float dispatch — ragged mode must run and match the float ref."""
+    N, D, F, E = 32, 16, 32, 4
+    x = jax.random.normal(jax.random.PRNGKey(27), (N, D))
+    mod = MoELayer(num_experts=E, topk=2, model_dim=D, hidden_dim=F,
+                   gate_type="linear_top", dispatch_mode="ragged")
+    v = mod.init(jax.random.PRNGKey(28), x)
+    y_ref, _ = mod.apply(v, x)
+    vw = quantize_variables(
+        v, min_elems=0, weight_only=True,
+        predicate=lambda p, l: p.endswith(("expert_w1", "expert_w2")))
+    y, _ = mod.apply(vw, x)
+    assert np.isfinite(np.asarray(y)).all()
+    assert _rel(y, y_ref) < 0.02
+
+
+def test_stmogen_weight_only_forward_and_sample(tiny_arch_and_vars):
+    arch, batch, v = tiny_arch_and_vars
+    vw = quantize_variables(v, min_elems=0, weight_only=True)
+    assert count_quantized(vw)[0] >= 40
+    xf = arch.encode_text(v, batch["text_ids"])
+    t = jnp.full((2,), 500, jnp.int32)
+    m = jax.random.normal(jax.random.PRNGKey(29), batch["motion"].shape)
+
+    def fwd(vv):
+        return arch.model.apply(vv, m, t, motion_mask=batch["motion_mask"],
+                                motion_length=batch["motion_length"],
+                                xf_out=xf, mode="test")
+
+    y_f, y_w = fwd(v), fwd(vw)
+    # tighter than the W8A8 bounds in test_stmogen_int8_forward_and_sample:
+    # weight rounding is the only error source
+    assert _rel(y_w, y_f) < 0.03
+    s_f = arch.sample(v, batch, jax.random.PRNGKey(30))
+    s_w = arch.sample(vw, batch, jax.random.PRNGKey(30))
+    assert np.isfinite(np.asarray(s_w)).all()
+    assert _rel(s_w, s_f) < 0.02
+
+
+def test_weight_only_composes_with_step_cache(tiny_arch_and_vars):
+    """The two serving levers stack: W8 weights only change the dots, so the
+    step-cache residual replay path must run unchanged on top."""
+    from motioncraft_tpu.diffusion import StepCacheConfig
+    arch, batch, v = tiny_arch_and_vars
+    vw = quantize_variables(v, min_elems=0, weight_only=True)
+    s_exact = arch.sample(vw, batch, jax.random.PRNGKey(31))
+    s_cached = arch.sample(vw, batch, jax.random.PRNGKey(31),
+                           step_cache=StepCacheConfig(reuse_every=2))
+    assert np.isfinite(np.asarray(s_cached)).all()
+    # cached-on-quantized stays in the same neighbourhood as exact-quantized
+    assert _rel(s_cached, s_exact) < 0.35

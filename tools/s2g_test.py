@@ -47,9 +47,13 @@ def parse_args():
                         "steps (diffusion/stepcache.py); 0 = off (exact), "
                         "N>=2 = reuse period.  Approximate like --int8; "
                         "stamped into the metrics flags")
-    p.add_argument("--int8", action="store_true",
-                   help="int8 W8A8 denoiser weights (ops/quant.py); "
-                        "combine with --bf16 for bf16 activations")
+    p.add_argument("--int8", nargs="?", const="w8a8", default=None,
+                   choices=["w8a8", "w8"],
+                   help="int8 denoiser weights (ops/quant.py); combine with "
+                        "--bf16 for bf16 activations.  Bare --int8 = w8a8 "
+                        "(dynamic activation quant onto the int8 MXU); "
+                        "'--int8 w8' = weight-only (int8 weights dequantized "
+                        "into the float dots)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute in the windowed sampler "
                         "(params cast + compute_dtype; metrics math stays f32)")
@@ -183,10 +187,12 @@ def main():
         variables = bf16_cast_variables(variables)
     if args.int8:
         from motioncraft_tpu.apis import int8_quantize_variables
-        variables = int8_quantize_variables(variables)
+        variables = int8_quantize_variables(
+            variables, weight_only=args.int8 == "w8")
         from motioncraft_tpu.ops.quant import count_quantized
         _n, _e = count_quantized(variables)
-        print(f"int8: quantized {_n} weights ({_e / 1e6:.1f}M params)")
+        print(f"int8 ({args.int8}): quantized {_n} weights "
+              f"({_e / 1e6:.1f}M params)")
 
     # generation: sequential protocol (R=1) or lockstep recording batches
     # (windowed_sample_batch — windows of different recordings share one
@@ -304,7 +310,7 @@ def main():
         "mmae_asset": not np.isscalar(mmae),
         "untrained_evaluator": not getattr(fid_model, "pretrained_loaded", False),
         "hash_tokenizer": find_bpe_asset() is None,
-        "int8_weights": bool(args.int8),
+        "int8_weights": args.int8 or False,  # False|"w8a8"|"w8"
         "step_cache": int(args.step_cache),
     }
     metrics["protocol"] = (flags["smplx_vertices"] and flags["mmae_asset"]

@@ -41,10 +41,14 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--limit", type=int, default=None,
                    help="evaluate only the first N results (smoke runs)")
-    p.add_argument("--int8", action="store_true",
-                   help="int8 W8A8 denoiser weights on the audited hot path "
+    p.add_argument("--int8", nargs="?", const="w8a8", default=None,
+                   choices=["w8a8", "w8"],
+                   help="int8 denoiser weights on the audited hot path "
                         "(ops/quant.py; combine with --bf16 for bf16 "
-                        "activations)")
+                        "activations).  Bare --int8 = w8a8 (dynamic "
+                        "activation quant onto the int8 MXU); '--int8 w8' = "
+                        "weight-only (int8 weights dequantized into the "
+                        "float dots)")
     p.add_argument("--step-cache", type=step_cache_arg, default=0, metavar="N",
                    help="SmoothCache-style layer-residual reuse: recompute "
                         "each decoder layer every N-th DDIM step and replay "
@@ -120,10 +124,12 @@ def main():
             variables = bf16_cast_variables(variables)
         if args.int8:
             from motioncraft_tpu.apis import int8_quantize_variables
-            variables = int8_quantize_variables(variables)
+            variables = int8_quantize_variables(
+                variables, weight_only=args.int8 == "w8")
             from motioncraft_tpu.ops.quant import count_quantized
             _n, _e = count_quantized(variables)
-            print(f"int8: quantized {_n} weights ({_e / 1e6:.1f}M params)")
+            print(f"int8 ({args.int8}): quantized {_n} weights "
+                  f"({_e / 1e6:.1f}M params)")
     cdt = jnp.bfloat16 if args.bf16 else None
     step_cache = None
     if args.step_cache_table is not None:
@@ -166,7 +172,7 @@ def main():
     flags = {
         "untrained_evaluator": not getattr(ev, "pretrained_loaded", False),
         "hash_tokenizer": find_bpe_asset() is None,
-        "int8_weights": bool(args.int8),
+        "int8_weights": args.int8 or False,  # False | "w8a8" | "w8"
         "step_cache": int(args.step_cache),
         "step_cache_table": args.step_cache_table,
     }
