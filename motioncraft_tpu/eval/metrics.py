@@ -29,14 +29,18 @@ def euclidean_distance_matrix(matrix1, matrix2):
 
 def calculate_top_k(argsort_mat, top_k):
     """argsort_mat [N, N]: per-row ranked indices; hit when diag index appears
-    in the first k columns (cumulative-or over columns)."""
+    in the first k columns (cumulative-or over columns).  When N < top_k (a
+    `--limit` smoke run's last slice), columns beyond N stay at the saturated
+    value: after all N candidates each row has found its own index, so
+    top-k accuracy is exactly 1 from column N on."""
     size = argsort_mat.shape[0]
     gt = np.arange(size)[:, None]
     bool_mat = argsort_mat == gt
     correct = np.zeros(size, dtype=bool)
     cols = []
     for i in range(top_k):
-        correct = correct | bool_mat[:, i]
+        if i < size:
+            correct = correct | bool_mat[:, i]
         cols.append(correct[:, None].copy())
     return np.concatenate(cols, axis=1)
 

@@ -39,6 +39,14 @@ class TestMetricMath:
         # row0: hit at k=1; row1: idx1 first -> hit at k=1; row2: idx2 first -> hit k=1
         assert mat[:, 0].sum() == 3
 
+    def test_top_k_exceeds_batch(self):
+        # a --limit smoke run can leave a replication slice smaller than
+        # top_k; columns past N saturate at 1 instead of raising
+        argsort = np.array([[1, 0], [0, 1]])  # both rows hit at k=2
+        mat = calculate_top_k(argsort, 3)
+        assert mat.shape == (2, 3)
+        assert mat[:, 0].sum() == 0 and mat[:, 1].all() and mat[:, 2].all()
+
     def test_metric_statistics(self):
         vals = np.array([1.0, 2.0, 3.0, 4.0])
         mean, conf = get_metric_statistics(vals, 4)
