@@ -59,7 +59,13 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
     covmean = np.asarray(linalg.sqrtm(sigma1.dot(sigma2)))
-    if not np.isfinite(covmean).all():
+    bad_imag = (np.iscomplexobj(covmean)
+                and not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3))
+    if not np.isfinite(covmean).all() or bad_imag:
+        # rank-deficient covariances (e.g. a --limit smoke run with fewer
+        # samples than embedding dims) make sqrtm non-finite or heavily
+        # complex; the standard eps-offset regularization recovers a finite
+        # value.  Well-conditioned protocol runs never take this branch.
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = np.asarray(linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset)))
     if np.iscomplexobj(covmean):

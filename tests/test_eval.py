@@ -47,6 +47,17 @@ class TestMetricMath:
         assert mat.shape == (2, 3)
         assert mat[:, 0].sum() == 0 and mat[:, 1].all() and mat[:, 2].all()
 
+    def test_fid_rank_deficient_smoke(self, rng):
+        # 2 samples x 8 dims: rank-1 covariances make the unregularized
+        # sqrtm heavily complex; the eps-offset retry must yield a finite
+        # value instead of raising (the --limit smoke-run path)
+        from motioncraft_tpu.eval.metrics import (
+            calculate_activation_statistics, calculate_frechet_distance)
+        a, b = rng.randn(2, 8), rng.randn(2, 8)
+        fid = calculate_frechet_distance(*calculate_activation_statistics(a),
+                                         *calculate_activation_statistics(b))
+        assert np.isfinite(fid)
+
     def test_metric_statistics(self):
         vals = np.array([1.0, 2.0, 3.0, 4.0])
         mean, conf = get_metric_statistics(vals, 4)
