@@ -167,6 +167,13 @@ def main():
     if not args.no_s2g and not args.quick:
         int8 = args.dtype if args.dtype in ("int8", "int8w") else None
         sc = args.step_cache if args.step_cache > 1 else None
+        if args.step_cache_table:
+            # calibrated tables are T2M-layer-shaped and don't apply to the
+            # S2G windowed sampler — stamp the S2G rows' true provenance so
+            # the mixed configuration is explicit in the JSON
+            result["s2g_step_cache"] = None
+            result["s2g_note"] = ("s2g rows run WITHOUT the step-cache "
+                                  "table (table is T2M-calibrated)")
         try:
             result["s2g_windows_per_min"] = round(
                 bench_s2g_windows(int8=int8, step_cache=sc), 2)

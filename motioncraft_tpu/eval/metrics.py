@@ -9,6 +9,8 @@ on device in evaluators.py.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 from scipy import linalg
 
@@ -65,7 +67,11 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
         # rank-deficient covariances (e.g. a --limit smoke run with fewer
         # samples than embedding dims) make sqrtm non-finite or heavily
         # complex; the standard eps-offset regularization recovers a finite
-        # value.  Well-conditioned protocol runs never take this branch.
+        # value.  Well-conditioned protocol runs never take this branch —
+        # warn loudly (as the reference does) so a regularized FID is never
+        # mistaken for an exact one.
+        print(f"FID: sqrtm produced singular/complex product; adding "
+              f"{eps} to the covariance diagonals", file=sys.stderr)
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = np.asarray(linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset)))
     if np.iscomplexobj(covmean):

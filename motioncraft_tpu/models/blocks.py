@@ -75,6 +75,9 @@ class QDense(nn.Dense):
                 kernel = dequant(kernel,
                                  self.get_variable("quant", "kernel_wscale"),
                                  self.dtype or inputs.dtype)
+                # promote like the float path: if dtype= ever differs from
+                # the activation dtype, the dot must not see mixed operands
+                inputs = inputs.astype(kernel.dtype)
                 y = jax.lax.dot_general(
                     inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())),
                     precision=self.precision)
@@ -176,9 +179,12 @@ class SFFN(nn.Module):
         w2 = self.param("w2", nn.initializers.lecun_normal(), (H, f, d))
         b2 = self.param("b2", zeros_init, (H, d))
         if w1.dtype == jnp.int8 and self.has_variable("quant", "w1_wscale"):
-            # W8 weight-only (ops/quant.py): dequantize the stacked weights
-            # into the float einsums — the convert+scale fuses into the
-            # contraction's operand read, so HBM streams int8 bytes
+            # W8 weight-only (ops/quant.py).  On the plain-einsum path the
+            # convert+scale fuses into the contraction's operand read (HBM
+            # streams int8 bytes); when the Pallas head_ffn branch below is
+            # taken, the custom call materializes the dequantized weights
+            # first, so the HBM-savings claim does NOT hold there — the
+            # measured int8w wins come from the QDense layers either way.
             from ..ops.quant import dequant
             w1 = dequant(w1, self.get_variable("quant", "w1_wscale"), x.dtype)
             w2 = dequant(w2, self.get_variable("quant", "w2_wscale"), x.dtype)

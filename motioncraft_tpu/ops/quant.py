@@ -25,7 +25,10 @@ Two compute modes over the SAME int8 storage:
   matmul's operand read, so the weight-streaming-bound B=2 long-form floor
   sees ~half the HBM weight bytes with zero extra critical-path work, and
   the quantization error is weight rounding only (strictly smaller than
-  W8A8's).  The mode is encoded STRUCTURALLY: scales are recorded under the
+  W8A8's).  Caveat: when SFFN takes the Pallas head_ffn path on TPU, the
+  custom call materializes the dequantized stacked weights first, so the
+  fused-read HBM saving does not apply to that one op (the measured int8w
+  wins come from the QDense layers).  The mode is encoded STRUCTURALLY: scales are recorded under the
   leaf name ``<name>_wscale`` (vs ``<name>_scale``), so consumers pick the
   branch via ``has_variable`` — a trace-time-static decision.
 

@@ -53,7 +53,11 @@ def parse_args():
                         "--bf16 for bf16 activations.  Bare --int8 = w8a8 "
                         "(dynamic activation quant onto the int8 MXU); "
                         "'--int8 w8' = weight-only (int8 weights dequantized "
-                        "into the float dots)")
+                        "into the float dots).  Put bare --int8 after the "
+                        "positionals or use --int8-mode")
+    p.add_argument("--int8-mode", default=None, choices=["w8a8", "w8"],
+                   help="position-safe alternative to '--int8 [mode]': "
+                        "implies --int8 with the given mode")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 denoiser compute in the windowed sampler "
                         "(params cast + compute_dtype; metrics math stays f32)")
@@ -64,7 +68,10 @@ def parse_args():
                         "one DDIM scan per window (TPU batching; 1 = the "
                         "reference's sequential protocol)")
     p.add_argument("--cfg-options", nargs="*", default=None)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.int8_mode:  # unambiguous form wins
+        args.int8 = args.int8_mode
+    return args
 
 
 def main():

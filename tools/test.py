@@ -48,7 +48,13 @@ def parse_args():
                         "activations).  Bare --int8 = w8a8 (dynamic "
                         "activation quant onto the int8 MXU); '--int8 w8' = "
                         "weight-only (int8 weights dequantized into the "
-                        "float dots)")
+                        "float dots).  NOTE: because the mode is optional, "
+                        "a bare --int8 placed immediately before a "
+                        "positional swallows it — put --int8 after the "
+                        "positionals, or use the unambiguous --int8-mode")
+    p.add_argument("--int8-mode", default=None, choices=["w8a8", "w8"],
+                   help="position-safe alternative to '--int8 [mode]': "
+                        "implies --int8 with the given mode")
     p.add_argument("--step-cache", type=step_cache_arg, default=0, metavar="N",
                    help="SmoothCache-style layer-residual reuse: recompute "
                         "each decoder layer every N-th DDIM step and replay "
@@ -72,7 +78,10 @@ def parse_args():
     p.add_argument("--jump_n_sample", type=int, default=2)
     p.add_argument("--jump_length", type=int, default=3)
     p.add_argument("--cfg-options", nargs="*", default=None)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.int8_mode:  # unambiguous form wins
+        args.int8 = args.int8_mode
+    return args
 
 
 def main():
