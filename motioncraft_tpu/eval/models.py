@@ -217,9 +217,17 @@ class T2MContrastiveModel_SMPLX:
         if init_cfg and init_cfg.get("type") == "Pretrained":
             ckpt = init_cfg["checkpoint"]
             if os.path.isfile(ckpt):
-                from ..utils.torch_convert import load_smplx_evaluator_ckpt
-                self.motion_params, self.text_params = load_smplx_evaluator_ckpt(
-                    ckpt, self.motion_params, self.text_params)
+                if ckpt.endswith(".npz"):
+                    # native snapshot from tools/train_protocol_evaluator.py
+                    # (motion/... and text/... prefixed flat leaves)
+                    from ..utils.checkpoint import load_params
+                    tree = load_params(ckpt)
+                    self.motion_params = tree["motion"]
+                    self.text_params = tree["text"]
+                else:
+                    from ..utils.torch_convert import load_smplx_evaluator_ckpt
+                    self.motion_params, self.text_params = load_smplx_evaluator_ckpt(
+                        ckpt, self.motion_params, self.text_params)
                 self.pretrained_loaded = True
             else:
                 print(f"[T2MContrastiveModel_SMPLX] checkpoint {ckpt} not found; "

@@ -314,38 +314,55 @@ class STMA(nn.Module):
 
     @nn.compact
     def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
-                 motion_length=None, num_intervals=1, train: bool = False, **kwargs):
+                 motion_length=None, num_intervals=1, train: bool = False,
+                 cfg_dedup: bool = False, **kwargs):
         B, T, D = x.shape
         H, L = self.num_heads, self.latent_dim
         N = xf.shape[1] + T
 
+        # CFG layer-0 dedup (caller guarantees the two batch halves are the
+        # identical cond/uncond copies of the SAME x/xf/emb — true only for
+        # the first decoder layer of the CFG-doubled test forward,
+        # stmogen.py forward_test): the MoE projections, the body graph and
+        # their LayerNorms are text_cond_type-independent, so compute them
+        # once on the first half and tile.  Bit-exact unless MoE capacity
+        # dropping triggers (token positions shift with N; verified
+        # drop-free at flagship shapes in tests/test_cfg_dedup.py).
+        dedup = cfg_dedup and not train and B % 2 == 0 and B > 1
+        Bc = B // 2 if dedup else B
+
         xh = x.reshape(B, T, H, L)
-        text_feat = xf.reshape(B, xf.shape[1], self.num_text_heads, -1)
+        xh_c = xh[:Bc]
+        text_in = xf[:Bc].reshape(Bc, xf.shape[1], self.num_text_heads, -1)
         text_feat, text_aux = MOE(self.num_experts, self.topk, self.text_latent_dim,
                                   self.text_latent_dim * 4, 2 * L, self.num_text_heads,
                                   self.max_text_seq_len, self.gate_type, self.gate_noise,
                                   expert_axis=self.expert_axis, name="text_moe")(
-            LayerNorm(name="text_norm")(text_feat).astype(text_feat.dtype), train=train)
+            LayerNorm(name="text_norm")(text_in).astype(text_in.dtype), train=train)
         motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 4 * L, H,
                                       self.max_seq_len, self.gate_type, self.gate_noise,
                                       expert_axis=self.expert_axis, name="motion_moe")(
-            LayerNorm(name="norm")(xh).astype(xh.dtype), train=train)
+            LayerNorm(name="norm")(xh_c).astype(xh_c.dtype), train=train)
 
         body_weight = self.param("body_weight", nn.initializers.normal(1.0), (H, H))
         body_value = motion_feat[:, :, :, :L]
         body_feat = body_value
         if self.static_body:
             body_feat = jnp.einsum("hl,bnld->bnhd", jax.nn.softmax(body_weight, axis=1), body_value)
-        body_feat = body_feat.reshape(B, T, D)
+        body_feat = body_feat.reshape(Bc, T, D)
         if self.dynamic_body:
             # attention over the H part tokens within each frame
-            d_in = body_value.reshape(B * T, H, L)
-            d_mask = jnp.ones((B * T, H, 1), x.dtype)
+            d_in = body_value.reshape(Bc * T, H, L)
+            d_mask = jnp.ones((Bc * T, H, 1), x.dtype)
             d_body = EfficientSelfAttention(L, 8, self.dropout, time_embed_dim=None,
                                             merged_lanes=True,
                                             name="body_d_attn")(d_in, src_mask=d_mask,
                                                                 train=train)
-            body_feat = body_feat + d_body.reshape(B, T, D)
+            body_feat = body_feat + d_body.reshape(Bc, T, D)
+        if dedup:
+            text_feat = jnp.concatenate([text_feat, text_feat], axis=0)
+            motion_feat = jnp.concatenate([motion_feat, motion_feat], axis=0)
+            body_feat = jnp.concatenate([body_feat, body_feat], axis=0)
 
         text_cond_type = ((cond_type % 10) > 0).astype(x.dtype)[..., None]  # [B,1,1,1]
         if self.patch_size > 1:

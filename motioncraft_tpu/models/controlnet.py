@@ -98,17 +98,26 @@ class ControlT2MHalf(nn.Module):
                 name=f"controlnet_{i}"))
         self.controlnet = blocks
 
+        pre_type = cc.get("condition_pre_encode_type", "wav")
         if cc.get("condition_pre_encode", False):
-            if cc.get("condition_pre_encode_type", "wav") != "wav":
-                raise NotImplementedError(cc.get("condition_pre_encode_type"))
-            self.condition_pre_encoder = WavEncoder(
-                out_dim=cc.get("condition_latent_dim", 512),
-                audio_in=cc.get("control_cond_feats", self.control_cond_feats))
-            in_feats = cc.get("condition_latent_dim", 512)
+            if pre_type == "wav":
+                self.condition_pre_encoder = WavEncoder(
+                    out_dim=cc.get("condition_latent_dim", 512),
+                    audio_in=cc.get("control_cond_feats", self.control_cond_feats))
+            elif pre_type == "wav2vec":
+                # native Wav2Vec2 tower interpolated to the motion frame
+                # count (EMAGE wav2vec.py:72-146 semantics; the reference's
+                # ConditionEncoder reserves the type but raises,
+                # controlnet.py:90-105)
+                from .wav2vec import Wav2Vec2Conditioner
+                self.condition_pre_encoder = Wav2Vec2Conditioner(
+                    out_dim=cc.get("condition_latent_dim", 512),
+                    wav2vec_cfg=cc.get("wav2vec_cfg"))
+            else:
+                raise NotImplementedError(pre_type)
         else:
             self.condition_pre_encoder = None
-            in_feats = self.control_cond_feats
-        del in_feats
+        self.condition_pre_encode_type = pre_type
         self.control_cond_input = ZeroDense(latent_dim)
         if self.patch_size > 1:
             self.condition_patch = PatchEmbed1D(self.patch_size, latent_dim)
@@ -133,7 +142,12 @@ class ControlT2MHalf(nn.Module):
         motion length, with the base sequence embedding added
         (controlnet.py:186-199)."""
         if self.condition_pre_encoder is not None:
-            c = self.condition_pre_encoder(c, train=train)
+            if self.condition_pre_encode_type == "wav2vec":
+                # the wav2vec tower aligns its ~49 fps features to the
+                # motion frame count internally (linear_interpolate)
+                c = self.condition_pre_encoder(c, seq_len, train=train)
+            else:
+                c = self.condition_pre_encoder(c, train=train)
         c = self.control_cond_input(c)
         if self.condition_patch is not None:
             c = self.condition_patch(c)
@@ -158,13 +172,16 @@ class ControlT2MHalf(nn.Module):
         return self.forward_c(c, seq_len, train=train)
 
     def _stack(self, h, xf_out, emb, src_mask, cond_type, motion_length,
-               num_intervals, c, train):
+               num_intervals, c, train, first_cfg_dedup=False):
         """block0 -> (control blocks inject c_skip) -> rest (controlnet.py:268-338)."""
         kw = dict(xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
                   motion_length=motion_length, num_intervals=num_intervals,
                   train=train)
         blocks = self.base.temporal_decoder_blocks
-        h = blocks[0](h, **kw)
+        # the condition branch injects only from block 1 on, so block 0 of
+        # the CFG-doubled test batch still sees identical halves -> the
+        # layer-0 dedup applies exactly as in the plain base model
+        h = blocks[0](h, **kw, cfg_dedup=first_cfg_dedup)
         if c is not None:
             for i in range(1, self.copy_blocks_num + 1):
                 c, c_skip = self.controlnet[i - 1](h, c, **kw)
@@ -198,7 +215,8 @@ class ControlT2MHalf(nn.Module):
                                dtype)}
 
     def _stack_cached(self, h, xf_out, emb, src_mask, cond_type, motion_length,
-                      num_intervals, c, step_cache, cache_flags):
+                      num_intervals, c, step_cache, cache_flags,
+                      first_cfg_dedup=False):
         """Decoder stack with per-layer residual reuse under real
         ``lax.cond`` branches (inference only — no sown variables).  A
         control-injected layer (1..copy_blocks_num) is cached as the
@@ -217,7 +235,8 @@ class ControlT2MHalf(nn.Module):
                 c_new, c_skip = self.controlnet[i - 1](hh, cc, **kw)
                 out = blocks[i](hh + c_skip, **kw)
                 return out, out - hh, c_new
-            out = blocks[i](hh, **kw)
+            out = blocks[i](hh, **kw,
+                            cfg_dedup=first_cfg_dedup and i == 0)
             return out, out - hh, cc
 
         cur_c = c
@@ -292,13 +311,15 @@ class ControlT2MHalf(nn.Module):
                 if self.condition_cfg_enabled:
                     c2 = c2 * all_cond.astype(c2.dtype)
             new_cache = None
+            dedup = getattr(self.base, "cfg_layer0_dedup", False)
             if step_cache is not None:
                 h2, new_cache = self._stack_cached(
                     h2, xf2, emb2, mask2, all_cond, ml2, num_intervals, c2,
-                    step_cache, cache_flags)
+                    step_cache, cache_flags, first_cfg_dedup=dedup)
             else:
                 h2 = self._stack(h2, xf2, emb2, mask2, all_cond, ml2,
-                                 num_intervals, c2, False)
+                                 num_intervals, c2, False,
+                                 first_cfg_dedup=dedup)
             out = self.base.out(h2).reshape(2 * B, T_out, -1)
             text_coef, none_coef = self.base.scale_func(timesteps[0])
             output = out[:B] * text_coef + out[B:] * none_coef

@@ -144,9 +144,9 @@ class PoseDecoder(nn.Module):
 class STMoGenDecoderLayer(nn.Module):
     """ca_block (STMA) + SFFN (reference stmogen.py:610-623).
 
-    The call signature is positional (num_intervals/train last) so
-    ``nn.remat(..., static_argnums=(7, 8))`` — positions count ``self`` at 0
-    — can mark the python-valued args static when activation
+    The call signature is positional (num_intervals/train/cfg_dedup last) so
+    ``nn.remat(..., static_argnums=(7, 8, 9))`` — positions count ``self`` at
+    0 — can mark the python-valued args static when activation
     rematerialization is enabled."""
 
     ca_block_cfg: Optional[dict] = None
@@ -154,12 +154,13 @@ class STMoGenDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
-                 motion_length=None, num_intervals=1, train=False):
+                 motion_length=None, num_intervals=1, train=False,
+                 cfg_dedup=False):
         if self.ca_block_cfg is not None:
             x = ATTENTIONS.build(self.ca_block_cfg, name="ca_block")(
                 x, xf=xf, emb=emb, src_mask=src_mask, cond_type=cond_type,
                 motion_length=motion_length, num_intervals=num_intervals,
-                train=train)
+                train=train, cfg_dedup=cfg_dedup)
         if self.ffn_cfg is not None:
             cfg = dict(self.ffn_cfg)
             x = SFFN(latent_dim=cfg.pop("latent_dim"), ffn_dim=cfg.pop("ffn_dim"),
@@ -187,6 +188,13 @@ class STMoGenTransformer(DiffusionTransformerBase):
     # becomes per-microbatch — the reference's own per-rank Tutel semantics.
     pipeline_axis: Optional[str] = None
     pipeline_microbatches: int = 2
+    # CFG layer-0 dedup: the cond/uncond halves of the doubled test batch are
+    # identical until text_cond_type enters layer 0's linear attention, so
+    # layer 0's MoE projections + body graph compute on one half and tile
+    # (attentions.py STMA cfg_dedup).  Bit-exact unless MoE capacity dropping
+    # triggers (tests/test_cfg_dedup.py).  Config-off for strict reference
+    # drop semantics.
+    cfg_layer0_dedup: bool = True
 
     def setup_io(self):
         self.joint_embed = PoseEncoder(**(self.pose_encoder_cfg or {}),
@@ -212,7 +220,7 @@ class STMoGenTransformer(DiffusionTransformerBase):
                 in_axes=None, out_axes=0, axis_size=self.num_layers)
             return [stacked_cls(ca_block_cfg=self.ca_block_cfg,
                                 ffn_cfg=self.ffn_cfg, name="stacked_blocks")]
-        layer_cls = (nn.remat(STMoGenDecoderLayer, static_argnums=(7, 8))
+        layer_cls = (nn.remat(STMoGenDecoderLayer, static_argnums=(7, 8, 9))
                      if self.remat else STMoGenDecoderLayer)
         blocks = []
         for i in range(self.num_layers):
@@ -243,10 +251,14 @@ class STMoGenTransformer(DiffusionTransformerBase):
                           self.latent_dim), dtype)
 
     def _run_blocks_cached(self, h, xf, emb, src_mask, cond_type, motion_length,
-                           num_intervals, step_cache, cache_flags):
+                           num_intervals, step_cache, cache_flags,
+                           first_cfg_dedup=False):
         """Decoder stack with per-layer residual reuse: layer i either
         recomputes its residual or replays ``step_cache[i]`` under a real
         ``lax.cond`` branch (compute is skipped on TPU, not masked out).
+        All-compute flags match the uncached stack bit-for-bit except that
+        the layer-0 CFG-dedup concats (``first_cfg_dedup``) may fuse
+        differently inside the cond branch (<=2 ulp; tests/test_step_cache.py).
         Inference-only: the test path sows no variables, so bound submodule
         calls inside a cond branch are legal flax."""
         if self.pipeline_axis is not None:
@@ -255,9 +267,9 @@ class STMoGenTransformer(DiffusionTransformerBase):
         for i, block in enumerate(self.temporal_decoder_blocks):
             # compute returns the layer output directly (NOT hh + (out - hh))
             # so all-compute flags are bit-identical to the uncached stack
-            def compute(hh, block=block):
+            def compute(hh, block=block, i=i):
                 out = block(hh, xf, emb, src_mask, cond_type, motion_length,
-                            num_intervals, False)
+                            num_intervals, False, first_cfg_dedup and i == 0)
                 return out, out - hh
 
             def reuse(hh, i=i):
@@ -272,13 +284,13 @@ class STMoGenTransformer(DiffusionTransformerBase):
         return h, jnp.stack(new_cache)
 
     def _run_blocks(self, h, xf, emb, src_mask, cond_type, motion_length,
-                    num_intervals, train):
+                    num_intervals, train, first_cfg_dedup=False):
         """Apply the decoder stack; GPipe it over ``pipeline_axis`` when set
         (parallel/pp.py — the reference's DDP has no pipeline path)."""
         if self.pipeline_axis is None:
-            for block in self.temporal_decoder_blocks:
+            for i, block in enumerate(self.temporal_decoder_blocks):
                 h = block(h, xf, emb, src_mask, cond_type, motion_length,
-                          num_intervals, train)
+                          num_intervals, train, first_cfg_dedup and i == 0)
             return h
         stacked_mod = self.temporal_decoder_blocks[0]
         if self.is_initializing():
@@ -366,13 +378,14 @@ class STMoGenTransformer(DiffusionTransformerBase):
         mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
         ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
         new_cache = None
+        dedup = self.cfg_layer0_dedup and self.pipeline_axis is None
         if step_cache is not None:
             h2, new_cache = self._run_blocks_cached(
                 h2, xf2, emb2, mask2, all_cond, ml2, num_intervals,
-                step_cache, cache_flags)
+                step_cache, cache_flags, first_cfg_dedup=dedup)
         else:
             h2 = self._run_blocks(h2, xf2, emb2, mask2, all_cond, ml2,
-                                  num_intervals, False)
+                                  num_intervals, False, first_cfg_dedup=dedup)
         out = self.out(h2).reshape(2 * B, T_out, -1)
         text_coef, none_coef = self.scale_func(timesteps[0])
         mixed = out[:B] * text_coef + out[B:] * none_coef

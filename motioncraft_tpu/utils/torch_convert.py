@@ -885,3 +885,67 @@ def load_remodiffuse_ckpt(path: str, variables, num_layers: int,
     variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
     _tree_update(variables["params"], tree)
     return variables
+
+
+# --------------------------------------------------------------- wav2vec2
+
+def _t_weight_norm_conv1d(sd, prefix):
+    """torch nn.utils.weight_norm(Conv1d, dim=2) (the Wav2Vec2 positional
+    conv): materialize w = g * v / ||v||_(0,1) and convert.  Handles both
+    the legacy ``weight_g/weight_v`` keys and the parametrize-era
+    ``parametrizations.weight.original0/1``."""
+    if _k(prefix, "weight_g") in sd:
+        g, v = sd[_k(prefix, "weight_g")], sd[_k(prefix, "weight_v")]
+    else:
+        g = sd[_k(prefix, "parametrizations.weight.original0")]
+        v = sd[_k(prefix, "parametrizations.weight.original1")]
+    norm = np.sqrt((np.asarray(v, np.float64) ** 2).sum(axis=(0, 1),
+                                                        keepdims=True))
+    w = np.asarray(g) * np.asarray(v) / norm  # [out, in/groups, k]
+    return {"kernel": np.transpose(w, (2, 1, 0)).astype(np.float32),
+            "bias": sd[_k(prefix, "bias")]}
+
+
+def convert_wav2vec2(sd: Dict[str, np.ndarray], num_layers: int = 12,
+                     num_conv_layers: int = 7) -> dict:
+    """HF torch Wav2Vec2Model ('group'-norm base layout) -> native
+    Wav2Vec2Module params (models/wav2vec.py).  Reference capability:
+    EMAGE_2024/models/utils/wav2vec.py:72-146."""
+    fe = {"group_norm": t_layernorm(sd, "feature_extractor.conv_layers.0.layer_norm")}
+    for i in range(num_conv_layers):
+        fe[f"conv_{i}"] = t_conv1d(sd, f"feature_extractor.conv_layers.{i}.conv")
+    out = {
+        "feature_extractor": fe,
+        "fp_layer_norm": t_layernorm(sd, "feature_projection.layer_norm"),
+        "fp_projection": t_linear(sd, "feature_projection.projection"),
+        "pos_conv": _t_weight_norm_conv1d(sd, "encoder.pos_conv_embed.conv"),
+        "encoder_layer_norm": t_layernorm(sd, "encoder.layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"encoder.layers.{i}"
+        out[f"layer_{i}"] = {
+            "attention": {
+                "q_proj": t_linear(sd, f"{p}.attention.q_proj"),
+                "k_proj": t_linear(sd, f"{p}.attention.k_proj"),
+                "v_proj": t_linear(sd, f"{p}.attention.v_proj"),
+                "out_proj": t_linear(sd, f"{p}.attention.out_proj"),
+            },
+            "layer_norm": t_layernorm(sd, f"{p}.layer_norm"),
+            "intermediate_dense": t_linear(sd, f"{p}.feed_forward.intermediate_dense"),
+            "output_dense": t_linear(sd, f"{p}.feed_forward.output_dense"),
+            "final_layer_norm": t_layernorm(sd, f"{p}.final_layer_norm"),
+        }
+    return out
+
+
+def load_wav2vec2_params(path: str, variables, num_layers: int = 12,
+                         num_conv_layers: int = 7):
+    """Load an HF torch Wav2Vec2Model checkpoint into Wav2Vec2Module
+    variables (shape-checked)."""
+    import flax
+    import jax
+    sd = load_torch_state_dict(path)
+    tree = convert_wav2vec2(sd, num_layers, num_conv_layers)
+    variables = jax.tree_util.tree_map(np.asarray, flax.core.unfreeze(variables))
+    _tree_update(variables["params"], tree)
+    return variables

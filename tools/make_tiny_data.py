@@ -93,17 +93,83 @@ def make_protocol_gt(root, rng, n=1000, t=196):
     make_motionx(root, rng, n=n, t=t)
 
 
+# 32 distinct action phrases (one per class) — enough lexical spread for
+# both the CLIP BPE tokenizer (denoiser text tower) and the hash-fallback
+# WordPiece tokenizer (evaluator) to separate classes.
+_ACTIONS = [
+    "walks forward slowly", "runs in a wide circle", "jumps up and down",
+    "waves both hands overhead", "sits down on the floor",
+    "stands up from a chair", "turns around and walks away",
+    "stretches both arms sideways", "crouches low to the ground",
+    "kicks with the right leg", "punches with the left fist",
+    "spins on one foot", "claps both hands rhythmically",
+    "bows deeply at the waist", "leans against an invisible wall",
+    "climbs an imaginary ladder", "throws a ball far away",
+    "catches a falling object", "dances with swaying hips",
+    "marches in place steadily", "crawls forward on the ground",
+    "balances on the left leg", "swims through the air",
+    "rows an invisible boat", "lifts a heavy box upward",
+    "pushes a cart forward", "pulls a rope toward the chest",
+    "sweeps the floor with a broom", "digs with an imaginary shovel",
+    "shrugs both shoulders repeatedly", "nods the head while standing",
+    "stomps both feet angrily",
+]
+
+
+def make_protocol_learnable(root, rng, n=1024, t=196, d=322):
+    """Protocol-scale tree with LEARNABLE text<->motion structure: 32 classes
+    of smooth sinusoid-bank motions (the make_calib_ckpt.py trick at dataset
+    scale), each with a distinct caption and n/32 instances that differ by
+    per-clip phase jitter + noise.  A diffusion model can memorise the class
+    conditionals and a small contrastive evaluator can learn the text<->motion
+    correspondence, making R-Precision/Matching discriminative (chance top-1
+    under batch-32 protocol = 1/32).  Drives the approx-mode drift harness
+    (tools/measure_approx_drift.py) and the round-5 train soak.  ~250 MB;
+    generated on demand, never committed."""
+    dd = os.path.join(root, "datasets", "motionx")
+    for sub in ("motions", "texts"):
+        os.makedirs(os.path.join(dd, sub), exist_ok=True)
+    np.save(os.path.join(dd, "mean.npy"), np.zeros(d, np.float32))
+    np.save(os.path.join(dd, "std.npy"), np.ones(d, np.float32))
+    k = len(_ACTIONS)
+    tt = np.linspace(0.0, 1.0, t, dtype=np.float32)
+    freqs = rng.uniform(0.5, 3.0, size=(k, d)).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi, size=(k, d)).astype(np.float32)
+    amp = rng.uniform(0.3, 1.0, size=(k, d)).astype(np.float32)
+    names = [f"clip{i:04d}" for i in range(n)]
+    for i, name in enumerate(names):
+        c = i % k
+        jit = rng.uniform(-0.3, 0.3, size=(d,)).astype(np.float32)
+        clip = amp[c] * np.sin(2 * np.pi * freqs[c] * tt[:, None]
+                               + phase[c] + jit)
+        clip = clip + rng.randn(t, d).astype(np.float32) * 0.05
+        np.save(os.path.join(dd, "motions", name + ".npy"),
+                clip.astype(np.float32))
+        with open(os.path.join(dd, "texts", name + ".txt"), "w") as f:
+            f.write(f"a person {_ACTIONS[c]}#a/DET person/NOUN\n")
+    with open(os.path.join(dd, "ann.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./data_tiny")
     ap.add_argument("--protocol-gt", action="store_true",
                     help="write a protocol-scale (1k clips x 196 frames) "
                          "synthetic motionx tree instead of the tiny one")
+    ap.add_argument("--protocol-learnable", action="store_true",
+                    help="write a protocol-scale motionx tree with learnable "
+                         "text<->motion class structure (32 sinusoid-bank "
+                         "classes; drift/soak harness)")
     args = ap.parse_args()
     rng = np.random.RandomState(0)
     if args.protocol_gt:
         make_protocol_gt(args.root, rng)
         print(f"protocol-gt data tree written under {args.root}")
+        return
+    if args.protocol_learnable:
+        make_protocol_learnable(args.root, rng)
+        print(f"protocol-learnable data tree written under {args.root}")
         return
     make_motionx(args.root, rng)
     make_finedance(args.root, rng)
