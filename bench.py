@@ -16,7 +16,17 @@ import json
 import sys
 import time
 
+import os
+
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # the axon TPU plugin registers at interpreter start and ignores the env
+    # var unless the config is set before first backend use (see
+    # .claude/skills/verify) — without this a "CPU" smoke run grabs the TPU
+    # device lock and serializes against real TPU jobs
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 from motioncraft_tpu.utils.env import enable_compilation_cache
@@ -41,6 +51,12 @@ def main():
                          "float dots, no activation quant)")
     ap.add_argument("--no-s2g", action="store_true",
                     help="skip the long-form S2G windows/min secondary metric")
+    ap.add_argument("--no-m2d", action="store_true",
+                    help="skip the long-form M2D windows/min secondary metric")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the secondary step-cache throughput rows "
+                         "(measured by default so every headline lever lands "
+                         "in the driver-captured JSON)")
     def step_cache_arg(v):
         n = int(v)
         if n != 0 and n < 2:  # reject a silent no-op (1/negatives)
@@ -126,13 +142,19 @@ def main():
             batch = make_text_batch(texts[:B], max_seq_len=T)
     print(f"bench: compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
+    # per-iteration timing: the driver record needs a variance field — the
+    # remote-runtime tunnel has shown multi-x day-to-day latency swings, so a
+    # single aggregate number is not comparable across sessions.  Throughput
+    # is reported as the MEDIAN per-iter rate with the spread stamped.
+    times = []
     for i in range(iters):
+        t0 = time.time()
         out = sample_jit(variables, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = float(np.median(times)) * iters  # median-equivalent total for MFU
 
-    motions_per_min = B * iters / dt * 60.0
+    motions_per_min = B / float(np.median(times)) * 60.0
     n_chips = len(jax.devices())
     per_chip = motions_per_min / max(1, n_chips) if n_chips > 1 else motions_per_min
     result = {
@@ -141,6 +163,9 @@ def main():
         "unit": "motions/min",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
         "batch": B,
+        "value_spread": [round(B / max(times) * 60.0, 2),
+                         round(B / min(times) * 60.0, 2)],
+        "n_iters": iters,
         # measured sweep on 16 GB v5e-1: 564/min @ B=64 but 464/min @ B=128
         # (HBM pressure) — the per-batch sweet spot is narrow; see FIDELITY.md
         "batch_note": "B=64 is the 16GB-v5e sweet spot; B=128 regresses on HBM",
@@ -164,29 +189,67 @@ def main():
             # with reuse flags set this reads as EFFECTIVE utilization
             result["mfu_note"] = ("effective (counts skipped layer FLOPs "
                                   "as done)")
-    if not args.no_s2g and not args.quick:
+    exact_run = args.step_cache == 0 and not args.step_cache_table
+    if exact_run and not args.no_extras and not args.quick:
+        # secondary step-cache rows: the approximate levers are headline
+        # numbers, so the driver-captured JSON must carry them (with their
+        # quality bound living in artifacts/approx_drift.json)
+        from motioncraft_tpu.diffusion import StepCacheConfig, load_flags
+        for row, sc_cfg in (("t2m_stepcache2_per_min",
+                             StepCacheConfig(reuse_every=2)),
+                            ("t2m_stepcache_table_per_min", "table")):
+            table_path = "artifacts/step_cache_flagship.json"
+            if sc_cfg == "table":
+                import os
+                if not os.path.isfile(table_path):
+                    continue
+                table = load_flags(table_path)
+                sc_cfg = StepCacheConfig(flags=table)
+                result["t2m_stepcache_table"] = table_path
+                result["t2m_stepcache_table_reuse"] = round(
+                    float(table.mean()), 4)
+            sc_jit = jax.jit(lambda v, b, r, _sc=sc_cfg: arch.sample(
+                v, b, r, compute_dtype=compute_dtype, step_cache=_sc))
+            try:
+                jax.block_until_ready(
+                    sc_jit(variables, batch, jax.random.PRNGKey(1)))
+                ts = []
+                for i in range(iters):
+                    t0 = time.time()
+                    jax.block_until_ready(
+                        sc_jit(variables, batch, jax.random.PRNGKey(2 + i)))
+                    ts.append(time.time() - t0)
+                result[row] = round(B / float(np.median(ts)) * 60.0, 2)
+                result[row + "_spread"] = [round(B / max(ts) * 60.0, 2),
+                                           round(B / min(ts) * 60.0, 2)]
+            except Exception as e:
+                print(f"bench: {row} failed: {e}", file=sys.stderr)
+
+    def add_windowed_rows(prefix, fn):
         int8 = args.dtype if args.dtype in ("int8", "int8w") else None
         sc = args.step_cache if args.step_cache > 1 else None
         if args.step_cache_table:
             # calibrated tables are T2M-layer-shaped and don't apply to the
-            # S2G windowed sampler — stamp the S2G rows' true provenance so
-            # the mixed configuration is explicit in the JSON
-            result["s2g_step_cache"] = None
-            result["s2g_note"] = ("s2g rows run WITHOUT the step-cache "
-                                  "table (table is T2M-calibrated)")
-        try:
-            result["s2g_windows_per_min"] = round(
-                bench_s2g_windows(int8=int8, step_cache=sc), 2)
-        except Exception as e:  # secondary metric must never kill the bench
-            print(f"bench: s2g secondary metric failed: {e}", file=sys.stderr)
-        try:
-            # lockstep-batched recordings (windowed_sample_batch, R=8):
-            # window w of independent recordings shares one DDIM scan
-            result["s2g_windows_per_min_batched8"] = round(
-                bench_s2g_windows(recording_batch=8, int8=int8,
-                                  step_cache=sc), 2)
-        except Exception as e:
-            print(f"bench: batched s2g metric failed: {e}", file=sys.stderr)
+            # windowed samplers — stamp the rows' true provenance so the
+            # mixed configuration is explicit in the JSON
+            result[f"{prefix}_step_cache"] = None
+            result[f"{prefix}_note"] = (f"{prefix} rows run WITHOUT the "
+                                        "step-cache table (table is "
+                                        "T2M-calibrated)")
+        for suffix, R in (("", 1), ("_batched8", 8)):
+            try:
+                med, spread = fn(recording_batch=R, int8=int8, step_cache=sc)
+                result[f"{prefix}_windows_per_min{suffix}"] = round(med, 2)
+                result[f"{prefix}_windows_per_min{suffix}_spread"] = [
+                    round(spread[0], 2), round(spread[1], 2)]
+            except Exception as e:  # secondary metrics never kill the bench
+                print(f"bench: {prefix}{suffix} metric failed: {e}",
+                      file=sys.stderr)
+
+    if not args.no_s2g and not args.quick:
+        add_windowed_rows("s2g", bench_s2g_windows)
+    if not args.no_m2d and not args.quick:
+        add_windowed_rows("m2d", bench_m2d_windows)
     print(json.dumps(result))
 
 
@@ -231,30 +294,24 @@ def compute_mfu(arch, variables, batch, compute_dtype, sec_per_call):
     return flops / sec_per_call / (peak * max(1, len(jax.devices())))
 
 
-def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
-                      recording_batch=1, int8=None, step_cache=None):
-    """Long-form S2G throughput: RePaint-outpainted 64-frame windows over
+def _bench_windowed(name, cfg, make_window_batch, window, pre,
+                    total_frames=604, recording_batch=1, int8=None,
+                    step_cache=None, n_rec=5):
+    """Long-form windowed throughput: RePaint-outpainted windows over
     synthetic recordings (the reference protocol's hot loop,
-    tools/s2g_test.py:120-260).  recording_batch=1 is the sequential
-    protocol; >1 runs independent recordings in lockstep through one DDIM
-    scan per window (windowed_sample_batch).  Steady-state windows/min."""
-    from motioncraft_tpu.apis import flagship_s2g_cfg, make_text_batch
+    tools/s2g_test.py:120-260 / m2d_test.py).  recording_batch=1 is the
+    sequential protocol; >1 runs independent recordings in lockstep through
+    one DDIM scan per window (windowed_sample_batch).  Returns
+    (median windows/min over n_rec per-recording timings, (min, max) spread)
+    — the remote-runtime tunnel shows multi-x latency variance day-to-day,
+    so the spread is part of the record, not a footnote."""
+    from motioncraft_tpu.apis import bf16_cast_variables
     from motioncraft_tpu.apis.windowed import (num_windows, windowed_sample,
                                                windowed_sample_batch)
     from motioncraft_tpu.diffusion.sampling import RepaintConfig
     from motioncraft_tpu.registry import build_architecture
 
-    arch = build_architecture(flagship_s2g_cfg(window=window))
-    spf = sr // fps
-    rng_np = np.random.RandomState(0)
-    audio = rng_np.randn(total_frames * spf, 2).astype(np.float32)
-
-    def make_window_batch(start, end):
-        batch = make_text_batch(["a person is doing a speech"], max_seq_len=window)
-        batch["c"] = audio[start * spf:end * spf][None]  # numpy: no eager RPC
-        return batch
-
-    from motioncraft_tpu.apis import bf16_cast_variables
+    arch = build_architecture(cfg)
     variables = bf16_cast_variables(
         arch.init(jax.random.PRNGKey(0), make_window_batch(0, window)))
     if int8:  # "int8" (W8A8) or "int8w" (weight-only)
@@ -284,16 +341,54 @@ def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
                 step_cache=sc_cfg)
     t0 = time.time()
     run(jax.random.PRNGKey(1))
-    print(f"bench: s2g R={R} compile+first recording {time.time() - t0:.1f}s",
-          file=sys.stderr)
-    n_rec = 3
-    t0 = time.time()
+    print(f"bench: {name} R={R} compile+first recording "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    times = []
     for i in range(n_rec):
+        t0 = time.time()
         run(jax.random.PRNGKey(2 + i))
-    dt = time.time() - t0
-    n_win = num_windows(total_frames, window, pre) * n_rec * R
-    print(f"bench: s2g R={R} {n_win} windows in {dt:.1f}s", file=sys.stderr)
-    return n_win / dt * 60.0
+        times.append(time.time() - t0)
+    n_win = num_windows(total_frames, window, pre) * R
+    print(f"bench: {name} R={R} per-recording s: "
+          f"{[round(t, 1) for t in times]}", file=sys.stderr)
+    rates = [n_win / t * 60.0 for t in times]
+    return float(np.median(rates)), (min(rates), max(rates))
+
+
+def bench_s2g_windows(window=64, pre=4, total_frames=604, sr=16000, fps=30,
+                      recording_batch=1, int8=None, step_cache=None):
+    """S2G: 64-frame windows, raw-audio 2-lane conditioning at 16 kHz."""
+    from motioncraft_tpu.apis import flagship_s2g_cfg, make_text_batch
+
+    spf = sr // fps
+    audio = np.random.RandomState(0).randn(total_frames * spf, 2).astype(np.float32)
+
+    def make_window_batch(start, end):
+        batch = make_text_batch(["a person is doing a speech"], max_seq_len=window)
+        batch["c"] = audio[start * spf:end * spf][None]  # numpy: no eager RPC
+        return batch
+
+    return _bench_windowed("s2g", flagship_s2g_cfg(window=window),
+                           make_window_batch, window, pre, total_frames,
+                           recording_batch, int8, step_cache)
+
+
+def bench_m2d_windows(window=120, pre=30, total_frames=604,
+                      recording_batch=1, int8=None, step_cache=None):
+    """M2D: 120-frame windows with 30-frame overlap, per-frame 163-d music
+    features, no pre-encoder (configs/stmogen/m2d_finedance_0125b.py)."""
+    from motioncraft_tpu.apis import flagship_m2d_cfg, make_text_batch
+
+    music = np.random.RandomState(0).randn(total_frames, 163).astype(np.float32)
+
+    def make_window_batch(start, end):
+        batch = make_text_batch(["a person is dancing"], max_seq_len=window)
+        batch["c"] = music[start:end][None]
+        return batch
+
+    return _bench_windowed("m2d", flagship_m2d_cfg(window=window),
+                           make_window_batch, window, pre, total_frames,
+                           recording_batch, int8, step_cache)
 
 
 if __name__ == "__main__":

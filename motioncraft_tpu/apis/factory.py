@@ -121,6 +121,23 @@ def make_text_batch(texts, max_seq_len: int = 196, input_feats: int = 322,
     }
 
 
+def flagship_m2d_cfg(window: int = 120, **kw) -> dict:
+    """Flagship M2D: ControlNet branch over the 0.125B T2M base at 120-frame
+    windows with raw 163-d music-feature conditioning, no pre-encoder
+    (configs/stmogen/m2d_finedance_0125b.py schema)."""
+    cfg = flagship_s2g_cfg(window=window, **kw)
+    cfg["model"] = dict(cfg["model"])
+    cfg["model"]["control_cond_feats"] = 163
+    cfg["model"]["condition_encode_cfg"] = dict(
+        dataset_name="nothing", condition_pre_encode=False,
+        condition_pre_encode_type="nothing", control_cond_feats=163,
+        condition_cfg=True)
+    cfg["repaint"] = dict(overlap_len=30, add_blend=True,
+                          same_overlap_noisy=False, jump_length=3,
+                          jump_n_sample=2)
+    return cfg
+
+
 def flagship_s2g_cfg(window: int = 64, **kw) -> dict:
     """Flagship S2G: ControlNet branch over the 0.125B T2M base at 64-frame
     windows with raw-audio WavEncoder conditioning (configs/stmogen/

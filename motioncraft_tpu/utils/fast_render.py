@@ -67,7 +67,9 @@ def _pyrender_frame_renderer(width: int, height: int):
 def _worker(args):
     """Render one chunk of frames to PNGs (spawn-safe, module level)."""
     (fids, vertices, faces, out_dir, width, height, factory) = args
-    import imageio
+    # v2 API pinned: bare `import imageio` is on a deprecation path to
+    # v3 semantics (different imread return types / kwargs)
+    import imageio.v2 as imageio
     render = (factory or _pyrender_frame_renderer)(width, height)
     for i, fid in enumerate(fids):
         imageio.imwrite(os.path.join(out_dir, f"frame_{fid:06d}.png"),
@@ -98,10 +100,14 @@ def render_frames_multiprocess(
             ctx = mp.get_context("spawn")
             with ctx.Pool(len(jobs)) as pool:
                 pool.map(_worker, jobs)
-        import imageio
+        import imageio.v2 as imageio
         frames = [imageio.imread(os.path.join(tmp, f"frame_{t:06d}.png"))
                   for t in range(T)]
-    imageio.mimwrite(out_video, frames, fps=fps)
+    if out_video.lower().endswith(".gif"):
+        # the PIL GIF plugin dropped `fps` in favor of per-frame duration (ms)
+        imageio.mimwrite(out_video, frames, duration=1000.0 / fps)
+    else:
+        imageio.mimwrite(out_video, frames, fps=fps)
     if audio_path and os.path.isfile(audio_path):
         try:
             import moviepy.editor as mpy

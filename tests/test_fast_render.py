@@ -43,7 +43,7 @@ def test_render_frames_multiprocess(tmp_path, n_workers):
                                       n_workers=n_workers, width=32, height=24,
                                       frame_renderer_factory=stub_factory)
     assert os.path.isfile(path)
-    import imageio
+    import imageio.v2 as imageio
     frames = imageio.mimread(path)
     assert len(frames) == T
 
@@ -61,3 +61,28 @@ def test_smplx_vertices_for_render(tmp_path, monkeypatch):
         betas=np.zeros(300, np.float32), model_path=str(p))
     assert verts.shape == (T, 40, 3) and np.isfinite(verts).all()
     assert faces is not None
+
+
+@pytest.mark.slow
+def test_pyrender_real_frames(tmp_path):
+    """Render 2 real frames through _pyrender_frame_renderer (GL context,
+    mesh upload, offscreen render) and mux them — the non-mocked path.
+    Skips where pyrender / a GL stack is unavailable (this CI image has
+    none); on a workstation with EGL/OSMesa it pins the pyrender API drift
+    the injected-renderer tests cannot see."""
+    pytest.importorskip("pyrender")
+    pytest.importorskip("trimesh")
+    from motioncraft_tpu.utils.fast_render import _pyrender_frame_renderer
+    try:
+        render = _pyrender_frame_renderer(64, 48)
+        tri = np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 0.5, 0.0]],
+                       np.float32)
+        faces = np.array([[0, 1, 2]], np.int32)
+        frames = [render(tri + 0.01 * i, faces) for i in range(2)]
+    except Exception as e:  # no GL device/EGL in headless CI
+        pytest.skip(f"GL context unavailable: {e}")
+    assert frames[0].shape == (48, 64, 3)
+    import imageio.v2 as imageio
+    out = str(tmp_path / "real.gif")
+    imageio.mimwrite(out, frames, duration=500)
+    assert len(imageio.mimread(out)) == 2

@@ -151,18 +151,107 @@ def make_protocol_learnable(root, rng, n=1024, t=196, d=322):
         f.write("\n".join(names) + "\n")
 
 
+def _smooth(rng, t, d, scale=0.1):
+    """Deterministic smooth sinusoid bank [t, d] (compresses, looks like
+    motion, and keeps the committed fixtures byte-stable)."""
+    tt = np.linspace(0.0, 1.0, t, dtype=np.float32)[:, None]
+    f = rng.uniform(0.5, 4.0, size=(1, d)).astype(np.float32)
+    p = rng.uniform(0, 2 * np.pi, size=(1, d)).astype(np.float32)
+    return (scale * np.sin(2 * np.pi * f * tt + p)).astype(np.float32)
+
+
+def make_fixture_tree(root):
+    """COMMITTED real-format miniature fixtures (tests/fixtures/mini):
+
+    - BEAT2 layout (reference EMAGE_2024/dataloaders/beat_motionx.py:236-611):
+      smplxflame_30/<name>.npz with poses [T,165] / expressions [T,100] /
+      trans [T,3] / betas [300] at 30 fps, 16 kHz 16-bit PCM wave16k/*.wav,
+      Praat textgrid/*.TextGrid, train_test_split.csv
+    - FineDance layout (reference data/datasets/finedance/pre_motion.py:15-69):
+      motion_fea163/<name>.npy [T,319], music_npy/<name>.npy [T,163] float32,
+      label_json/<name>.json, with the 360-frame head trim leaving usable
+      frames
+
+    Unlike the throwaway ./data_tiny tree (same formats, regenerated on
+    demand), these are committed so a silent co-drift between the generator
+    and the loaders (field names, fps, dtypes) fails CI
+    (tests/test_tools_e2e_fixtures.py drives tools/{s2g,m2d}_test.py over
+    them end-to-end)."""
+    from scipy.io import wavfile
+    rng = np.random.RandomState(7)
+
+    # ---- BEAT2: one train + one test recording for speaker 2, t=96 (3.2 s)
+    t, sr, fps = 96, 16000, 30
+    d = os.path.join(root, "beat2")
+    for sub in ("smplxflame_30", "wave16k", "textgrid"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+    os.makedirs(os.path.join(root, "stats"), exist_ok=True)
+    np.save(os.path.join(root, "stats", "mean.npy"), np.zeros(322, np.float32))
+    np.save(os.path.join(root, "stats", "std.npy"), np.ones(322, np.float32))
+    rows = []
+    # two test recordings: the S2G FID path needs >1 embedding group
+    for name, split in (("2_mini_0_1_1", "train"), ("2_mini_0_2_2", "test"),
+                        ("2_mini_0_3_3", "test")):
+        rows.append(f"{name},{split}")
+        np.savez(os.path.join(d, "smplxflame_30", name + ".npz"),
+                 poses=_smooth(rng, t, 165), expressions=_smooth(rng, t, 100),
+                 trans=_smooth(rng, t, 3), betas=np.zeros(300, np.float32))
+        dur = t / fps
+        n_samp = int(dur * sr)
+        tone = 0.2 * np.sin(2 * np.pi * 220.0 * np.arange(n_samp) / sr)
+        wavfile.write(os.path.join(d, "wave16k", name + ".wav"), sr,
+                      (tone * 32767).astype(np.int16))
+        with open(os.path.join(d, "textgrid", name + ".TextGrid"), "w") as f:
+            f.write('File type = "ooTextFile"\nObject class = "TextGrid"\n\n'
+                    f'xmin = 0\nxmax = {dur}\ntiers? <exists>\nsize = 1\n'
+                    'item []:\n    item [1]:\n        class = "IntervalTier"\n'
+                    '        name = "words"\n        xmin = 0\n'
+                    f'        xmax = {dur}\n        intervals: size = 2\n'
+                    '        intervals [1]:\n            xmin = 0\n'
+                    f'            xmax = {dur / 2}\n            text = "hello"\n'
+                    '        intervals [2]:\n'
+                    f'            xmin = {dur / 2}\n            xmax = {dur}\n'
+                    '            text = "fixture"\n')
+    with open(os.path.join(d, "train_test_split.csv"), "w") as f:
+        f.write("id,type\n" + "\n".join(rows) + "\n")
+
+    # ---- FineDance: one cross_genre test track ("063"), 360-trim + 64 usable
+    t = 424
+    d = os.path.join(root, "datasets", "finedance")
+    for sub in ("motion_fea163", "music_npy", "label_json"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+    np.save(os.path.join(d, "mean.npy"), np.zeros(322, np.float32))
+    np.save(os.path.join(d, "std.npy"), np.ones(322, np.float32))
+    name = "063"
+    np.save(os.path.join(d, "motion_fea163", name + ".npy"), _smooth(rng, t, 319))
+    np.save(os.path.join(d, "music_npy", name + ".npy"), _smooth(rng, t, 163))
+    with open(os.path.join(d, "label_json", name + ".json"), "w") as f:
+        json.dump({"name": "fixture_song", "style1": "Jazz",
+                   "style2": "modern"}, f)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="./data_tiny")
     ap.add_argument("--protocol-gt", action="store_true",
                     help="write a protocol-scale (1k clips x 196 frames) "
                          "synthetic motionx tree instead of the tiny one")
+    ap.add_argument("--fixtures", action="store_true",
+                    help="regenerate the COMMITTED real-format miniature "
+                         "fixtures under tests/fixtures/mini (then inspect "
+                         "the diff and commit)")
     ap.add_argument("--protocol-learnable", action="store_true",
                     help="write a protocol-scale motionx tree with learnable "
                          "text<->motion class structure (32 sinusoid-bank "
                          "classes; drift/soak harness)")
     args = ap.parse_args()
     rng = np.random.RandomState(0)
+    if args.fixtures:
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "fixtures", "mini")
+        make_fixture_tree(root)
+        print(f"fixture tree written under {root}")
+        return
     if args.protocol_gt:
         make_protocol_gt(args.root, rng)
         print(f"protocol-gt data tree written under {args.root}")

@@ -77,6 +77,14 @@ def parse_args():
     p.add_argument("--overlap_len", type=int, default=4)
     p.add_argument("--jump_n_sample", type=int, default=2)
     p.add_argument("--jump_length", type=int, default=3)
+    p.add_argument("--dump-samples", default=None, metavar="PATH",
+                   help="save the generated motions (loader order, pre-"
+                        "evaluation) to PATH.npz — same seed across runs "
+                        "makes dumps elementwise comparable, which is how "
+                        "tools/measure_approx_drift.py computes the sample-"
+                        "space error of approximate modes")
+    p.add_argument("--dump-samples-limit", type=int, default=1024,
+                   help="cap the number of dumped motions (file size)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     args = p.parse_args()
     if args.int8_mode:  # unambiguous form wins
@@ -100,6 +108,11 @@ def main():
     cfg = Config.fromfile(args.config)
     cfg.merge_from_dict(cfg_options_from_args(args.cfg_options))
     os.makedirs(args.work_dir, exist_ok=True)
+    # the protocol's replication shuffles and the Diversity evaluator draw
+    # from the global numpy RNG — seed it so two runs with the same --seed
+    # are metric-comparable (the drift harness relies on this; reference
+    # tools/test.py seeds via set_random_seed the same way)
+    np.random.seed(args.seed)
 
     arch = build_architecture(cfg.model)
     arch.repaint_cfg = RepaintConfig(
@@ -170,6 +183,18 @@ def main():
                                      step_cache=step_cache,
                                      logger=lambda m: print("  " + m, flush=True))
     print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
+    if args.dump_samples:
+        n = min(len(results), args.dump_samples_limit)
+        os.makedirs(os.path.dirname(os.path.abspath(args.dump_samples)),
+                    exist_ok=True)
+        np.savez_compressed(
+            args.dump_samples,
+            pred_motion=np.stack([np.asarray(r["pred_motion"], np.float32)
+                                  for r in results[:n]]),
+            motion_length=np.stack(
+                [np.asarray(r["motion_length"]).reshape(-1)[:1]
+                 for r in results[:n]]).reshape(-1))
+        print(f"dumped {n} samples -> {args.dump_samples}")
     metrics = dataset.evaluate(results[:args.limit] if args.limit else results,
                                args.work_dir)
     for k, v in metrics.items():
