@@ -7,6 +7,23 @@ ConstantsRemover, Numpyfier; writers.py BVH writer).  pymo wraps everything
 in sklearn transformers over pandas frames; here each step is a pure
 function over (BVHData, [T, C] frame arrays) — composable, testable, no
 pandas/sklearn dependency.
+
+Capability map (pymo class -> function here).  Of these, the reference's own
+code CALLS only MocapParameterizer('position')
+(EMAGE_2024/dataloaders/data_tools.py:1520, inside the BVH-visualization
+helper); the rest of pymo is vendored-but-unreached from mogen:
+
+  MocapParameterizer('position')   -> forward_kinematics
+  MocapParameterizer('expmap')     -> euler_to_expmap (+ expmap_to_euler)
+  MocapParameterizer('euler')      -> joint_rotations / root_positions
+  JointSelector                    -> select_joints
+  RootTransformer('pos_rot_deltas')-> root_deltas
+  RootCentricPositionNormalizer    -> root_centric_positions
+  DownSampler                      -> downsample
+  ConstantsRemover                 -> constant_channels / remove_constants
+  Numpyfier                        -> (frames are already [T, C] numpy)
+  StandardScaler (sklearn)         -> standard_scale
+  writers.BVHWriter                -> write_bvh
 """
 
 from __future__ import annotations
