@@ -50,7 +50,7 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None):
 
 def single_device_test(arch, variables, data_loader, *, seed: int = 0,
                        limit: Optional[int] = None, logger=None,
-                       compute_dtype=None, max_inflight: int = 2,
+                       compute_dtype=None, max_inflight: int = 4,
                        step_cache=None) -> List[Dict[str, Any]]:
     import jax
 

@@ -278,6 +278,15 @@ class MotionDiffusion:
                 c_enc = c_enc.astype(compute_dtype)
             c = None
 
+        # hoist the DDIM-step-invariant text-branch MoE out of the scan:
+        # every layer's text features depend only on xf_out, so compute them
+        # ONCE per sampling call (on the undoubled batch) instead of per
+        # step per CFG half (stmogen.py precompute_text_feats)
+        text_feats = None
+        if hasattr(type(self.model), "precompute_text_feats"):
+            text_feats = self.model.apply(variables, xf_out,
+                                          method="precompute_text_feats")
+
         cache0 = None
         if step_cache is not None:
             if inference_type != "ddim":
@@ -303,6 +312,8 @@ class MotionDiffusion:
             xin = x.astype(compute_dtype) if compute_dtype is not None else x
             cache_kw = ({} if cache is None
                         else {"step_cache": cache, "cache_flags": flags})
+            if text_feats is not None:
+                cache_kw["text_feats"] = text_feats
             out = self.model.apply(
                 variables, xin, t_model, motion_mask=motion_mask,
                 motion_length=motion_length, xf_out=xf_out, xf_proj=xf_proj,

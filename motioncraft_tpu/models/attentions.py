@@ -312,10 +312,29 @@ class STMA(nn.Module):
     patch_size: int = 1
     expert_axis: Optional[str] = None
 
+    def _text_branch(self, xf, train: bool):
+        """LayerNorm + text MoE over the text lane — depends ONLY on ``xf``
+        (no x/emb/timestep), so it is both CFG-half-identical and
+        DDIM-step-invariant; the caller may hoist it out of the sampling
+        scan entirely (stmogen.py precompute_text_feats)."""
+        L = self.latent_dim
+        text_in = xf.reshape(xf.shape[0], xf.shape[1], self.num_text_heads, -1)
+        return MOE(self.num_experts, self.topk, self.text_latent_dim,
+                   self.text_latent_dim * 4, 2 * L, self.num_text_heads,
+                   self.max_text_seq_len, self.gate_type, self.gate_noise,
+                   expert_axis=self.expert_axis, name="text_moe")(
+            LayerNorm(name="text_norm")(text_in).astype(text_in.dtype),
+            train=train)
+
     @nn.compact
     def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
                  motion_length=None, num_intervals=1, train: bool = False,
-                 cfg_dedup: bool = False, **kwargs):
+                 cfg_dedup: bool = False, text_feat=None,
+                 text_only: bool = False, **kwargs):
+        if text_only:
+            # precompute mode: return the step-invariant text features and
+            # touch nothing else (apply-time only; init runs the full path)
+            return self._text_branch(xf, train=False)[0]
         B, T, D = x.shape
         H, L = self.num_heads, self.latent_dim
         N = xf.shape[1] + T
@@ -323,22 +342,30 @@ class STMA(nn.Module):
         # CFG layer-0 dedup (caller guarantees the two batch halves are the
         # identical cond/uncond copies of the SAME x/xf/emb — true only for
         # the first decoder layer of the CFG-doubled test forward,
-        # stmogen.py forward_test): the MoE projections, the body graph and
-        # their LayerNorms are text_cond_type-independent, so compute them
-        # once on the first half and tile.  Bit-exact unless MoE capacity
-        # dropping triggers (token positions shift with N; verified
-        # drop-free at flagship shapes in tests/test_cfg_dedup.py).
+        # stmogen.py forward_test): the MOTION MoE projections, the body
+        # graph and their LayerNorms are text_cond_type-independent, so
+        # compute them once on the first half and tile (the text branch is
+        # NOT deduped — MoE capacity is token-count-sized, so halving its
+        # batch would change drop behavior; it is hoisted per-call instead).
+        # Bit-exact unless MoE capacity dropping triggers (token positions
+        # shift with N; verified drop-free at flagship shapes in
+        # tests/test_cfg_dedup.py).
         dedup = cfg_dedup and not train and B % 2 == 0 and B > 1
         Bc = B // 2 if dedup else B
 
         xh = x.reshape(B, T, H, L)
         xh_c = xh[:Bc]
-        text_in = xf[:Bc].reshape(Bc, xf.shape[1], self.num_text_heads, -1)
-        text_feat, text_aux = MOE(self.num_experts, self.topk, self.text_latent_dim,
-                                  self.text_latent_dim * 4, 2 * L, self.num_text_heads,
-                                  self.max_text_seq_len, self.gate_type, self.gate_noise,
-                                  expert_axis=self.expert_axis, name="text_moe")(
-            LayerNorm(name="text_norm")(text_in).astype(text_in.dtype), train=train)
+        if text_feat is None:
+            # always on the FULL batch: MoE capacity is sized by the token
+            # count, so computing text on the half batch would change drop
+            # behavior vs the reference's 2B-everywhere semantics — the
+            # dedup therefore covers only the motion/body branch
+            text_feat, text_aux = self._text_branch(xf, train=train)
+        else:
+            # hoisted: computed once per sampling call on the same doubled
+            # batch (stmogen.py precompute_text_feats) — identical routing,
+            # capacity and drops as the in-layer compute it replaces
+            text_aux = 0.0
         motion_feat, motion_aux = MOE(self.num_experts, self.topk, L, L * 4, 4 * L, H,
                                       self.max_seq_len, self.gate_type, self.gate_noise,
                                       expert_axis=self.expert_axis, name="motion_moe")(
@@ -360,7 +387,6 @@ class STMA(nn.Module):
                                                                 train=train)
             body_feat = body_feat + d_body.reshape(Bc, T, D)
         if dedup:
-            text_feat = jnp.concatenate([text_feat, text_feat], axis=0)
             motion_feat = jnp.concatenate([motion_feat, motion_feat], axis=0)
             body_feat = jnp.concatenate([body_feat, body_feat], axis=0)
 

@@ -171,26 +171,56 @@ class ControlT2MHalf(nn.Module):
         ``c_enc``)."""
         return self.forward_c(c, seq_len, train=train)
 
+    def precompute_text_feats(self, xf_out):
+        """Step-invariant text features for the sampling-scan hoist: the
+        base stack's per-layer feats (STMoGenTransformer
+        .precompute_text_feats) plus one per controlnet copied block (their
+        STMA towers have their own text_moe params).  None when the base
+        hoist is disabled or for the MCM block type."""
+        if self.block_type != "stmogen" or xf_out is None:
+            return None
+        base_feats = self.base.precompute_text_feats(xf_out)
+        if base_feats is None:
+            return None
+        # on the CFG-doubled batch, like the base (capacity/drop parity
+        # with the in-layer compute)
+        xf2 = jnp.concatenate([xf_out, xf_out], axis=0)
+        ctrl = []
+        for i, blk in enumerate(self.controlnet):
+            sub = {col: tree["copied_block"] for col, tree in
+                   blk.variables.items() if "copied_block" in tree}
+            ffn_cfg = (self.base.ffn_cfg[i]
+                       if isinstance(self.base.ffn_cfg, (list, tuple))
+                       else self.base.ffn_cfg)
+            tmpl = STMoGenDecoderLayer(ca_block_cfg=self.base.ca_block_cfg,
+                                       ffn_cfg=ffn_cfg, parent=None)
+            ctrl.append(tmpl.apply(sub, None, xf2, text_only=True))
+        return {"base": base_feats, "ctrl": tuple(ctrl)}
+
     def _stack(self, h, xf_out, emb, src_mask, cond_type, motion_length,
-               num_intervals, c, train, first_cfg_dedup=False):
+               num_intervals, c, train, first_cfg_dedup=False,
+               text_feats=None):
         """block0 -> (control blocks inject c_skip) -> rest (controlnet.py:268-338)."""
         kw = dict(xf=xf_out, emb=emb, src_mask=src_mask, cond_type=cond_type,
                   motion_length=motion_length, num_intervals=num_intervals,
                   train=train)
+        tfb = lambda i: None if text_feats is None else text_feats["base"][i]
+        tfc = lambda i: None if text_feats is None else text_feats["ctrl"][i]
         blocks = self.base.temporal_decoder_blocks
         # the condition branch injects only from block 1 on, so block 0 of
         # the CFG-doubled test batch still sees identical halves -> the
         # layer-0 dedup applies exactly as in the plain base model
-        h = blocks[0](h, **kw, cfg_dedup=first_cfg_dedup)
+        h = blocks[0](h, **kw, cfg_dedup=first_cfg_dedup, text_feat=tfb(0))
         if c is not None:
             for i in range(1, self.copy_blocks_num + 1):
-                c, c_skip = self.controlnet[i - 1](h, c, **kw)
-                h = blocks[i](h + c_skip, **kw)
+                c, c_skip = self.controlnet[i - 1](h, c, **kw,
+                                                   text_feat=tfc(i - 1))
+                h = blocks[i](h + c_skip, **kw, text_feat=tfb(i))
             for i in range(self.copy_blocks_num + 1, len(blocks)):
-                h = blocks[i](h, **kw)
+                h = blocks[i](h, **kw, text_feat=tfb(i))
         else:
             for i in range(1, len(blocks)):
-                h = blocks[i](h, **kw)
+                h = blocks[i](h, **kw, text_feat=tfb(i))
         return h
 
     # --------------------------------------------------------- step caching
@@ -216,7 +246,7 @@ class ControlT2MHalf(nn.Module):
 
     def _stack_cached(self, h, xf_out, emb, src_mask, cond_type, motion_length,
                       num_intervals, c, step_cache, cache_flags,
-                      first_cfg_dedup=False):
+                      first_cfg_dedup=False, text_feats=None):
         """Decoder stack with per-layer residual reuse under real
         ``lax.cond`` branches (inference only — no sown variables).  A
         control-injected layer (1..copy_blocks_num) is cached as the
@@ -228,15 +258,19 @@ class ControlT2MHalf(nn.Module):
         blocks = self.base.temporal_decoder_blocks
         init = self.is_initializing()
         new_h, new_c = [], []
+        tfb = lambda i: None if text_feats is None else text_feats["base"][i]
+        tfc = lambda i: None if text_feats is None else text_feats["ctrl"][i]
 
         def run(i, hh, cc):
             """Layer i compute: returns (h_out, h_residual, c_out)."""
             if c is not None and 1 <= i <= self.copy_blocks_num:
-                c_new, c_skip = self.controlnet[i - 1](hh, cc, **kw)
-                out = blocks[i](hh + c_skip, **kw)
+                c_new, c_skip = self.controlnet[i - 1](hh, cc, **kw,
+                                                       text_feat=tfc(i - 1))
+                out = blocks[i](hh + c_skip, **kw, text_feat=tfb(i))
                 return out, out - hh, c_new
             out = blocks[i](hh, **kw,
-                            cfg_dedup=first_cfg_dedup and i == 0)
+                            cfg_dedup=first_cfg_dedup and i == 0,
+                            text_feat=tfb(i))
             return out, out - hh, cc
 
         cur_c = c
@@ -276,7 +310,7 @@ class ControlT2MHalf(nn.Module):
     def __call__(self, motion, timesteps, motion_mask=None, motion_length=None,
                  xf_out=None, xf_proj=None, num_intervals: int = 1, cond_type=None,
                  c=None, c_enc=None, mode: str = "test", train: bool = False,
-                 step_cache=None, cache_flags=None, **kwargs):
+                 step_cache=None, cache_flags=None, text_feats=None, **kwargs):
         src_mask = motion_mask[..., None] if motion_mask.ndim == 2 else motion_mask
         h, emb = self.base._embed(motion, timesteps)
         if self.base.use_text_proj and xf_proj is not None:
@@ -310,16 +344,19 @@ class ControlT2MHalf(nn.Module):
                 c2 = rep(c)
                 if self.condition_cfg_enabled:
                     c2 = c2 * all_cond.astype(c2.dtype)
+            # text_feats are precomputed on the already-doubled batch
+            tf2 = text_feats
             new_cache = None
             dedup = getattr(self.base, "cfg_layer0_dedup", False)
             if step_cache is not None:
                 h2, new_cache = self._stack_cached(
                     h2, xf2, emb2, mask2, all_cond, ml2, num_intervals, c2,
-                    step_cache, cache_flags, first_cfg_dedup=dedup)
+                    step_cache, cache_flags, first_cfg_dedup=dedup,
+                    text_feats=tf2)
             else:
                 h2 = self._stack(h2, xf2, emb2, mask2, all_cond, ml2,
                                  num_intervals, c2, False,
-                                 first_cfg_dedup=dedup)
+                                 first_cfg_dedup=dedup, text_feats=tf2)
             out = self.base.out(h2).reshape(2 * B, T_out, -1)
             text_coef, none_coef = self.base.scale_func(timesteps[0])
             output = out[:B] * text_coef + out[B:] * none_coef

@@ -144,10 +144,12 @@ class PoseDecoder(nn.Module):
 class STMoGenDecoderLayer(nn.Module):
     """ca_block (STMA) + SFFN (reference stmogen.py:610-623).
 
-    The call signature is positional (num_intervals/train/cfg_dedup last) so
-    ``nn.remat(..., static_argnums=(7, 8, 9))`` — positions count ``self`` at
-    0 — can mark the python-valued args static when activation
-    rematerialization is enabled."""
+    The call signature is positional so ``nn.remat(..., static_argnums=
+    (7, 8, 9))`` — positions count ``self`` at 0 — can mark the
+    python-valued args (num_intervals / train / cfg_dedup) static when
+    activation rematerialization is enabled.  ``text_feat`` (position 10) is
+    a traced tensor; ``text_only`` is static but is only ever passed through
+    the detached non-remat template in precompute_text_feats."""
 
     ca_block_cfg: Optional[dict] = None
     ffn_cfg: Optional[dict] = None
@@ -155,12 +157,17 @@ class STMoGenDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, xf=None, emb=None, src_mask=None, cond_type=None,
                  motion_length=None, num_intervals=1, train=False,
-                 cfg_dedup=False):
+                 cfg_dedup=False, text_feat=None, text_only=False):
+        if text_only:
+            # precompute mode (stmogen.py precompute_text_feats): return the
+            # ca_block's step-invariant text features, skip the FFN
+            return ATTENTIONS.build(self.ca_block_cfg, name="ca_block")(
+                None, xf=xf, text_only=True)
         if self.ca_block_cfg is not None:
             x = ATTENTIONS.build(self.ca_block_cfg, name="ca_block")(
                 x, xf=xf, emb=emb, src_mask=src_mask, cond_type=cond_type,
                 motion_length=motion_length, num_intervals=num_intervals,
-                train=train, cfg_dedup=cfg_dedup)
+                train=train, cfg_dedup=cfg_dedup, text_feat=text_feat)
         if self.ffn_cfg is not None:
             cfg = dict(self.ffn_cfg)
             x = SFFN(latent_dim=cfg.pop("latent_dim"), ffn_dim=cfg.pop("ffn_dim"),
@@ -190,11 +197,19 @@ class STMoGenTransformer(DiffusionTransformerBase):
     pipeline_microbatches: int = 2
     # CFG layer-0 dedup: the cond/uncond halves of the doubled test batch are
     # identical until text_cond_type enters layer 0's linear attention, so
-    # layer 0's MoE projections + body graph compute on one half and tile
+    # layer 0's MOTION MoE + body graph compute on one half and tile
     # (attentions.py STMA cfg_dedup).  Bit-exact unless MoE capacity dropping
     # triggers (tests/test_cfg_dedup.py).  Config-off for strict reference
     # drop semantics.
     cfg_layer0_dedup: bool = True
+    # Text-branch hoist: every layer's text MoE (STMA._text_branch) depends
+    # only on xf — identical across all DDIM steps — so architecture.sample
+    # precomputes it ONCE per sampling call (precompute_text_feats, on the
+    # CFG-doubled batch for capacity/drop parity) instead of once per step.
+    # Exact: same inputs, same params, same routing as the in-layer compute
+    # it replaces (tests/test_cfg_dedup.py).  Config-off to force per-step
+    # recompute.
+    text_hoist: bool = True
 
     def setup_io(self):
         self.joint_embed = PoseEncoder(**(self.pose_encoder_cfg or {}),
@@ -252,7 +267,7 @@ class STMoGenTransformer(DiffusionTransformerBase):
 
     def _run_blocks_cached(self, h, xf, emb, src_mask, cond_type, motion_length,
                            num_intervals, step_cache, cache_flags,
-                           first_cfg_dedup=False):
+                           first_cfg_dedup=False, text_feats=None):
         """Decoder stack with per-layer residual reuse: layer i either
         recomputes its residual or replays ``step_cache[i]`` under a real
         ``lax.cond`` branch (compute is skipped on TPU, not masked out).
@@ -269,7 +284,8 @@ class STMoGenTransformer(DiffusionTransformerBase):
             # so all-compute flags are bit-identical to the uncached stack
             def compute(hh, block=block, i=i):
                 out = block(hh, xf, emb, src_mask, cond_type, motion_length,
-                            num_intervals, False, first_cfg_dedup and i == 0)
+                            num_intervals, False, first_cfg_dedup and i == 0,
+                            None if text_feats is None else text_feats[i])
                 return out, out - hh
 
             def reuse(hh, i=i):
@@ -284,13 +300,15 @@ class STMoGenTransformer(DiffusionTransformerBase):
         return h, jnp.stack(new_cache)
 
     def _run_blocks(self, h, xf, emb, src_mask, cond_type, motion_length,
-                    num_intervals, train, first_cfg_dedup=False):
+                    num_intervals, train, first_cfg_dedup=False,
+                    text_feats=None):
         """Apply the decoder stack; GPipe it over ``pipeline_axis`` when set
         (parallel/pp.py — the reference's DDP has no pipeline path)."""
         if self.pipeline_axis is None:
             for i, block in enumerate(self.temporal_decoder_blocks):
                 h = block(h, xf, emb, src_mask, cond_type, motion_length,
-                          num_intervals, train, first_cfg_dedup and i == 0)
+                          num_intervals, train, first_cfg_dedup and i == 0,
+                          None if text_feats is None else text_feats[i])
             return h
         stacked_mod = self.temporal_decoder_blocks[0]
         if self.is_initializing():
@@ -361,14 +379,38 @@ class STMoGenTransformer(DiffusionTransformerBase):
                              motion_length, num_intervals, train)
         return self.out(h).reshape(B, T_out, -1)
 
+    def precompute_text_feats(self, xf_out):
+        """Per-layer step-invariant text features (tuple of
+        [B, Lt, num_text_heads, 2L]) for the sampling-scan hoist —
+        architecture.sample computes this ONCE per call and threads it into
+        every forward_test step.  None when the hoist is disabled or under
+        pipeline parallelism (the gpipe path streams layers).  Runs through
+        a detached functional template (the gpipe pattern) so the
+        remat-wrapped block classes never see the python-bool mode flag."""
+        if (not self.text_hoist or self.pipeline_axis is not None
+                or xf_out is None):
+            return None
+        # compute on the CFG-doubled batch: capacity/drop semantics then
+        # match the in-layer 2B compute bit-for-bit (drops are token-count
+        # dependent, so an undoubled probe would route differently)
+        xf2 = jnp.concatenate([xf_out, xf_out], axis=0)
+        tmpl = STMoGenDecoderLayer(ca_block_cfg=self.ca_block_cfg,
+                                   ffn_cfg=self.ffn_cfg, parent=None)
+        return tuple(
+            tmpl.apply(dict(block.variables), None, xf2, text_only=True)
+            for block in self.temporal_decoder_blocks)
+
     def forward_test(self, h=None, src_mask=None, emb=None, xf_out=None,
                      motion_length=None, num_intervals=1, timesteps=None,
-                     step_cache=None, cache_flags=None, **kwargs):
+                     step_cache=None, cache_flags=None, text_feats=None,
+                     **kwargs):
         """CFG 2x-batch (text + uncond), mixed by scale_func (stmogen.py:725-761).
 
         With ``step_cache``/``cache_flags`` set (diffusion/stepcache.py), the
         decoder stack reuses cached per-layer residuals on flagged layers and
-        the return value becomes ``(output, new_cache)``."""
+        the return value becomes ``(output, new_cache)``.  ``text_feats``
+        (from precompute_text_feats) replaces every layer's text-MoE compute
+        with the hoisted per-layer constants."""
         B, T = h.shape[:2]
         T_out = T * self.patch_size
         all_cond = jnp.concatenate([jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1))], axis=0)
@@ -377,15 +419,19 @@ class STMoGenTransformer(DiffusionTransformerBase):
         emb2 = jnp.concatenate([emb, emb], axis=0)
         mask2 = jnp.concatenate([src_mask, src_mask], axis=0)
         ml2 = jnp.concatenate([motion_length, motion_length], axis=0)
+        # text_feats are precomputed on the already-doubled batch
+        tf2 = text_feats
         new_cache = None
         dedup = self.cfg_layer0_dedup and self.pipeline_axis is None
         if step_cache is not None:
             h2, new_cache = self._run_blocks_cached(
                 h2, xf2, emb2, mask2, all_cond, ml2, num_intervals,
-                step_cache, cache_flags, first_cfg_dedup=dedup)
+                step_cache, cache_flags, first_cfg_dedup=dedup,
+                text_feats=tf2)
         else:
             h2 = self._run_blocks(h2, xf2, emb2, mask2, all_cond, ml2,
-                                  num_intervals, False, first_cfg_dedup=dedup)
+                                  num_intervals, False, first_cfg_dedup=dedup,
+                                  text_feats=tf2)
         out = self.out(h2).reshape(2 * B, T_out, -1)
         text_coef, none_coef = self.scale_func(timesteps[0])
         mixed = out[:B] * text_coef + out[B:] * none_coef

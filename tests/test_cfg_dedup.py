@@ -1,13 +1,21 @@
-"""CFG layer-0 dedup (exact-path perf lever, VERDICT r4 item 3a).
+"""Exact-path sampling levers: CFG layer-0 dedup + text-branch hoist.
 
 The CFG test forward doubles the batch into identical cond/uncond halves
 (reference transformer.py get_precompute_condition -> forward_test pattern,
 mogen/models/transformers/stmogen.py); divergence between the halves enters
-only through ``text_cond_type`` inside layer 0's linear attention, so layer
-0's MoE projections + body graph can be computed once on the first half and
-tiled (models/attentions.py STMA ``cfg_dedup``).  These tests pin that the
-optimization is output-identical to the plain path for the plain stack, the
-step-cached stack, and the ControlNet branch.
+only through ``text_cond_type`` inside layer 0's linear attention.  Two
+exact-algebra levers exploit this (models/attentions.py STMA,
+models/stmogen.py):
+
+- ``cfg_layer0_dedup``: layer 0's motion MoE + body graph compute once on
+  the first half and tile.
+- ``text_hoist``: EVERY layer's text MoE depends only on xf (no x/emb/
+  timestep), so architecture.sample precomputes it once per call
+  (precompute_text_feats) instead of per DDIM step per CFG half.
+
+These tests pin that each lever (and their default-on combination) is
+output-identical to the plain path for the plain stack, the step-cached
+stack, and the ControlNet branch.
 """
 
 import jax
@@ -21,52 +29,61 @@ from motioncraft_tpu.diffusion import StepCacheConfig
 
 pytestmark = pytest.mark.slow  # jitted sampling compiles
 
+OFF = {"cfg_layer0_dedup": False, "text_hoist": False}
+LEVERS = {
+    "both (default)": {},
+    "dedup only": {"text_hoist": False},
+    "hoist only": {"cfg_layer0_dedup": False},
+}
 
-def _pair(cfg_mutator=None):
-    """Two archs sharing one param tree: dedup on (default) vs off."""
-    cfg_on = tiny_t2m_cfg()
-    cfg_off = tiny_t2m_cfg()
-    if cfg_mutator:
-        cfg_mutator(cfg_on)
-        cfg_mutator(cfg_off)
-    assert cfg_on["model"].get("cfg_layer0_dedup", True) is not False
-    cfg_off["model"]["cfg_layer0_dedup"] = False
-    arch_on = build_flagship(cfg_on)
-    arch_off = build_flagship(cfg_off)
+
+def _arch(overrides):
+    cfg = tiny_t2m_cfg()
+    cfg["model"] = dict(cfg["model"], **overrides)
+    return build_flagship(cfg)
+
+
+@pytest.fixture(scope="module")
+def base():
+    arch_off = _arch(OFF)
     batch = make_text_batch(["a person walks forward", "someone waves hello"],
                             max_seq_len=16)
     variables = arch_off.init(jax.random.PRNGKey(0), batch)
-    return arch_on, arch_off, variables, batch
+    return arch_off, variables, batch
 
 
-def test_sample_identical_plain_stack():
-    arch_on, arch_off, variables, batch = _pair()
+@pytest.mark.parametrize("name", list(LEVERS))
+def test_sample_identical_plain_stack(base, name):
+    arch_off, variables, batch = base
     rng = jax.random.PRNGKey(1)
     s_off = jax.jit(lambda v, b, r: arch_off.sample(v, b, r))(variables, batch, rng)
+    arch_on = _arch(LEVERS[name])
     s_on = jax.jit(lambda v, b, r: arch_on.sample(v, b, r))(variables, batch, rng)
-    # same params, same rng: the dedup is exact algebra (modulo MoE capacity
-    # reordering, which must not trigger at these shapes)
+    # same params, same rng: the levers are exact algebra (modulo MoE
+    # capacity reordering, which must not trigger at these shapes)
     np.testing.assert_allclose(np.asarray(s_on), np.asarray(s_off),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_sample_identical_step_cached():
-    arch_on, arch_off, variables, batch = _pair()
+def test_sample_identical_step_cached(base):
+    arch_off, variables, batch = base
     rng = jax.random.PRNGKey(2)
     sc = StepCacheConfig(reuse_every=2, warmup=1, tail=1)
     s_off = jax.jit(lambda v, b, r: arch_off.sample(v, b, r, step_cache=sc))(
         variables, batch, rng)
+    arch_on = _arch({})  # both levers on (default)
     s_on = jax.jit(lambda v, b, r: arch_on.sample(v, b, r, step_cache=sc))(
         variables, batch, rng)
     np.testing.assert_allclose(np.asarray(s_on), np.asarray(s_off),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_train_loss_unaffected():
-    """dedup is inference-only: the train path never dedups, so the toggle
-    must not change the loss."""
-    arch_on, arch_off, variables, batch = _pair()
+def test_train_loss_unaffected(base):
+    """Both levers are inference-only: the train path never dedups or
+    hoists, so the toggles must not change the loss."""
+    arch_off, variables, batch = base
     rng = jax.random.PRNGKey(3)
+    arch_on = _arch({})
     l_on, _ = jax.jit(arch_on.loss)(variables, batch, rng)
     l_off, _ = jax.jit(arch_off.loss)(variables, batch, rng)
     np.testing.assert_allclose(float(l_on), float(l_off), rtol=0, atol=0)
@@ -75,10 +92,9 @@ def test_train_loss_unaffected():
 def test_controlnet_sample_identical():
     from motioncraft_tpu.registry import build_architecture
 
-    def ctrl_cfg(dedup):
+    def ctrl_cfg(levers):
         base = tiny_t2m_cfg()
-        model = base["model"]
-        model["cfg_layer0_dedup"] = dedup
+        model = dict(base["model"], **levers)
         cfg = dict(base)
         cfg["model"] = dict(
             type="ControlT2MHalf", base_model=model, copy_blocks_num=1,
@@ -91,8 +107,8 @@ def test_controlnet_sample_identical():
                                       condition_cfg=True))
         return cfg
 
-    arch_on = build_architecture(ctrl_cfg(True))
-    arch_off = build_architecture(ctrl_cfg(False))
+    arch_on = build_architecture(ctrl_cfg({}))
+    arch_off = build_architecture(ctrl_cfg(OFF))
     T = 16
     batch = make_text_batch(["someone is speaking"], max_seq_len=T)
     rng_np = np.random.RandomState(0)

@@ -52,10 +52,11 @@ def test_committed_flags_match_committed_errors():
                               tail=a["tail"])
     np.testing.assert_array_equal(regen, flags)
     assert abs(flags.mean() - a["reuse_fraction"]) < 1e-6
-    # provenance honesty: the committed table is probed on a short
-    # synthetic-data overfit checkpoint (tools/make_calib_ckpt.py) — real
-    # residual dynamics, NOT a released/real-data model; the note must say
-    # so.  (A random-init probe would need perturb>0 to be non-vacuous —
+    # provenance honesty: the committed table is probed on a
+    # trained-on-synthetic-data checkpoint (round 5: the TPU train-soak
+    # model; earlier: tools/make_calib_ckpt.py overfit) — real residual
+    # dynamics, NOT a released/real-data model; the note must say so.
+    # (A random-init probe would need perturb>0 to be non-vacuous —
     # zero-init output heads give an identically-zero profile.)
     if a["random_weights"]:
         assert a["perturb"] > 0, "unperturbed random-init probe is vacuous"
@@ -65,7 +66,9 @@ def test_committed_flags_match_committed_errors():
     assert (errors[1:] > 0).any(), "vacuous error profile"
     # a useful operating point actually reuses something
     assert a["reuse_fraction"] > 0.2, a["reuse_fraction"]
-    assert a["config"].endswith("configs/tests/flagship_calib.py")
+    # the probe config must carry the flagship topology + DDIM-50 respace
+    assert a["config"].endswith(("configs/tests/flagship_calib.py",
+                                 "configs/tests/protocol_learn.py"))
 
 
 def test_committed_flags_are_valid_schedule():
