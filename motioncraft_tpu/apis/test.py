@@ -16,7 +16,7 @@ import numpy as np
 from ..utils.dist_utils import collect_results
 
 
-def _eval_sample_jit(arch, compute_dtype, step_cache=None):
+def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None):
     """One cached jit wrapper per (arch, compute_dtype, mutable-config): a
     fresh ``jax.jit`` per call would own a fresh trace cache and recompile —
     EvalHook runs this every ``interval`` epochs.  ``arch.sample`` bakes
@@ -33,7 +33,7 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None):
                   None if step_cache.flags is None
                   else np.asarray(step_cache.flags).tobytes())
     key = (compute_dtype, getattr(arch, "inference_type", None),
-           getattr(arch, "repaint_cfg", None), sc_key)
+           getattr(arch, "repaint_cfg", None), sc_key, motion_shape)
     if key not in cache:
         import jax
         # Only pass step_cache when set: ``sample`` is the generic
@@ -42,9 +42,21 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None):
         # kwarg — an unconditional pass-through broke single_device_test
         # for non-step-cache architectures (round-3 regression).
         kw = {} if step_cache is None else {"step_cache": step_cache}
-        cache[key] = jax.jit(
-            lambda v, b, r, i: arch.sample(v, b, jax.random.fold_in(r, i),
-                                           compute_dtype=compute_dtype, **kw))
+
+        def call(v, b, r, i):
+            if motion_shape is not None:
+                # ``sample`` only reads motion's shape (the architecture
+                # advertises sample_ignores_motion_values): materialize a
+                # zeros constant inside the trace instead of uploading
+                # 252 KB/motion of unused data per batch — the protocol
+                # eval is transfer-bound on remote-runtime TPU hosts
+                import jax.numpy as jnp
+                b = dict(b)
+                b["motion"] = jnp.zeros(motion_shape, jnp.float32)
+            return arch.sample(v, b, jax.random.fold_in(r, i),
+                               compute_dtype=compute_dtype, **kw)
+
+        cache[key] = jax.jit(call)
     return cache[key]
 
 
@@ -64,7 +76,9 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
     if step_cache is not None and getattr(step_cache, "collect_errors", False):
         raise ValueError("collect_errors is a calibration mode; use "
                          "MotionDiffusion.sample directly")
-    sample_jit = _eval_sample_jit(arch, compute_dtype, step_cache)
+    skip_motion_upload = (arch.inference_type != "gt"
+                          and getattr(arch, "sample_ignores_motion_values",
+                                      False))
     rng = jax.random.PRNGKey(seed)
     results: List[Dict[str, Any]] = []
     inflight: List[tuple] = []
@@ -89,6 +103,11 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
                 pad = bs - nbatch["motion"].shape[0]
                 nbatch = {k: np.concatenate([v] + [v[-1:]] * pad)
                           for k, v in nbatch.items()}
+            motion_shape = None
+            if skip_motion_upload:
+                motion_shape = nbatch.pop("motion").shape
+            sample_jit = _eval_sample_jit(arch, compute_dtype, step_cache,
+                                          motion_shape)
             pred = sample_jit(variables, nbatch, rng, np.int32(i))
         inflight.append((pred, batch))
         drain(max_inflight)

@@ -51,6 +51,14 @@ def _collect_loss_leaves(tree, key_name: str):
 class MotionDiffusion:
     """Orchestrates training losses and inference sampling."""
 
+    # ``sample`` reads batch['motion'] only for its (B, T, D) shape (and as
+    # the returned value under inference_type='gt'); generation starts from
+    # fresh noise.  Eval loops use this to skip the host->device transfer of
+    # the motion array entirely (apis/test.py) — on a remote-runtime TPU the
+    # protocol eval is transfer-bound, and the unused motion upload is half
+    # the bytes.
+    sample_ignores_motion_values = True
+
     def __init__(self,
                  model: Optional[dict] = None,
                  loss_recon: Optional[dict] = None,

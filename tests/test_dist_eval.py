@@ -316,3 +316,56 @@ class TestSingleDeviceTest:
         assert f2 is not f1
         arch.inference_type = "ddpm"
         assert _eval_sample_jit(arch, None) is not f2
+
+
+class _NoiseStubArch:
+    """Arch whose sample ignores motion VALUES (uses only shape + rng), like
+    MotionDiffusion under any non-gt inference_type."""
+
+    inference_type = "ddim"
+    sample_ignores_motion_values = True
+
+    def sample(self, variables, batch, rng, compute_dtype=None):
+        import jax
+        B, T, D = batch["motion"].shape
+        return (jax.random.normal(rng, (B, T, D))
+                + batch["motion_length"][:, None, None].astype(np.float32))
+
+    @staticmethod
+    def split_results(results):
+        from motioncraft_tpu.models.architecture import MotionDiffusion
+        return MotionDiffusion.split_results(results)
+
+
+class TestMotionUploadSkip:
+    """sample_ignores_motion_values: the eval loop drops the motion array
+    from the dispatched pytree (a zeros constant is materialized inside the
+    trace) — predictions must be BIT-IDENTICAL to the uploading path, and
+    the host-side GT motion must still reach the results for the metrics."""
+
+    def _loader(self, n, bs):
+        loader = DataLoader(EvalDataset(n), batch_size=bs, shuffle=False,
+                            drop_last=False, tokenize_text=False)
+        return loader
+
+    def test_skip_matches_upload_bitexact(self):
+        from motioncraft_tpu.apis.test import single_device_test
+        arch = _NoiseStubArch()
+        with_skip = single_device_test(arch, {}, self._loader(10, 4), seed=3)
+        arch2 = _NoiseStubArch()
+        arch2.sample_ignores_motion_values = False
+        without = single_device_test(arch2, {}, self._loader(10, 4), seed=3)
+        assert len(with_skip) == len(without) == 10
+        for i, (a, b) in enumerate(zip(with_skip, without)):
+            np.testing.assert_array_equal(a["pred_motion"], b["pred_motion"])
+            # GT motion still present for the evaluators (not the traced
+            # zeros constant: EvalDataset fills motion with the sample idx)
+            np.testing.assert_array_equal(a["motion"], np.full((4, 3), i))
+
+    def test_gt_mode_unaffected(self):
+        from motioncraft_tpu.apis.test import single_device_test
+        arch = _NoiseStubArch()
+        arch.inference_type = "gt"
+        results = single_device_test(arch, {}, self._loader(6, 4))
+        for i, r in enumerate(results):
+            np.testing.assert_array_equal(r["pred_motion"], r["motion"])
