@@ -16,13 +16,23 @@ import numpy as np
 from ..utils.dist_utils import collect_results
 
 
-def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None):
+def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None,
+                     stack_k=1):
     """One cached jit wrapper per (arch, compute_dtype, mutable-config): a
     fresh ``jax.jit`` per call would own a fresh trace cache and recompile —
     EvalHook runs this every ``interval`` epochs.  ``arch.sample`` bakes
     ``inference_type``/``repaint_cfg`` into the trace, so they are part of
     the key: mutating them between evaluations (repaint sweeps, gt-mode
-    toggles) must not silently reuse a stale executable."""
+    toggles) must not silently reuse a stale executable.
+
+    ``stack_k > 1``: the mega-dispatch executable — a ``lax.map`` over
+    ``stack_k`` stacked loader batches, sampling each with the SAME
+    ``fold_in(rng, global_batch_idx)`` the single-batch path uses (the
+    predictions are bit-identical; tests/test_dist_eval.py).  One dispatch
+    per K batches amortizes the per-execution runtime overhead, which on a
+    remote-runtime TPU host dwarfs the device time (measured: 20.5 s/batch
+    dispatched singly vs 7.9 s/batch at K=4 for the flagship protocol
+    eval)."""
     cache = getattr(arch, "_eval_jit_cache", None)
     if cache is None:
         cache = arch._eval_jit_cache = {}
@@ -33,7 +43,7 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None):
                   None if step_cache.flags is None
                   else np.asarray(step_cache.flags).tobytes())
     key = (compute_dtype, getattr(arch, "inference_type", None),
-           getattr(arch, "repaint_cfg", None), sc_key, motion_shape)
+           getattr(arch, "repaint_cfg", None), sc_key, motion_shape, stack_k)
     if key not in cache:
         import jax
         # Only pass step_cache when set: ``sample`` is the generic
@@ -43,7 +53,7 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None):
         # for non-step-cache architectures (round-3 regression).
         kw = {} if step_cache is None else {"step_cache": step_cache}
 
-        def call(v, b, r, i):
+        def one(v, b, r, i):
             if motion_shape is not None:
                 # ``sample`` only reads motion's shape (the architecture
                 # advertises sample_ignores_motion_values): materialize a
@@ -56,6 +66,13 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None):
             return arch.sample(v, b, jax.random.fold_in(r, i),
                                compute_dtype=compute_dtype, **kw)
 
+        if stack_k > 1:
+            def call(v, sb, r, idx):
+                return jax.lax.map(lambda a: one(v, a[0], r, a[1]), (sb, idx))
+        else:
+            def call(v, b, r, i):
+                return one(v, b, r, i)
+
         cache[key] = jax.jit(call)
     return cache[key]
 
@@ -63,7 +80,8 @@ def _eval_sample_jit(arch, compute_dtype, step_cache=None, motion_shape=None):
 def single_device_test(arch, variables, data_loader, *, seed: int = 0,
                        limit: Optional[int] = None, logger=None,
                        compute_dtype=None, max_inflight: int = 4,
-                       step_cache=None) -> List[Dict[str, Any]]:
+                       step_cache=None,
+                       dispatch_batches: int = 1) -> List[Dict[str, Any]]:
     import jax
 
     # pipelined like apis/windowed.py: batches stay numpy (jit transfers
@@ -72,10 +90,20 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
     # of a traced batch index (no eager split), and the device_get of each
     # prediction is deferred behind ``max_inflight`` later dispatches so the
     # fetch overlaps device compute without accumulating the whole epoch's
-    # predictions in HBM
+    # predictions in HBM.
+    #
+    # ``dispatch_batches=K > 1``: group K loader batches into ONE device
+    # dispatch (lax.map inside the jit).  Predictions are bit-identical to
+    # K=1 (same per-batch fold_in rng); the win is amortizing per-execution
+    # runtime overhead, which through a remote-runtime tunnel is ~2/3 of
+    # the wall time per dispatch.  The final short group is padded with the
+    # last batch (extra predictions dropped) so only ONE executable is ever
+    # compiled.
     if step_cache is not None and getattr(step_cache, "collect_errors", False):
         raise ValueError("collect_errors is a calibration mode; use "
                          "MotionDiffusion.sample directly")
+    if dispatch_batches < 1:
+        raise ValueError("dispatch_batches must be >= 1")
     skip_motion_upload = (arch.inference_type != "gt"
                           and getattr(arch, "sample_ignores_motion_values",
                                       False))
@@ -83,21 +111,50 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
     results: List[Dict[str, Any]] = []
     inflight: List[tuple] = []
     bs = data_loader.batch_size
+    K = dispatch_batches
+    if K > 1:  # keep >= one mega-result's slices deferred behind the next
+        max_inflight = max(max_inflight, 2 * K)
     t0 = time.time()
 
     def drain(keep: int):
         while len(inflight) > keep:
-            pred, batch = inflight.pop(0)
+            pred, batch, j = inflight.pop(0)
+            arr = np.asarray(pred if j is None else pred[j])
             res = dict(batch)
-            res["pred_motion"] = np.asarray(pred)[: len(batch["motion_metas"])]
+            res["pred_motion"] = arr[: len(batch["motion_metas"])]
             results.extend(arch.split_results(res))
+
+    group: List[tuple] = []  # (nbatch, batch, global_batch_idx, motion_shape)
+
+    def flush_group():
+        if not group:
+            return
+        if K == 1:
+            nb, batch, gi, mshape = group[0]
+            fn = _eval_sample_jit(arch, compute_dtype, step_cache, mshape)
+            inflight.append((fn(variables, nb, rng, np.int32(gi)), batch, None))
+        else:
+            n_real = len(group)
+            while len(group) < K:  # pad: extra predictions dropped below
+                group.append(group[-1])
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *[g[0] for g in group])
+            idx = np.asarray([g[2] for g in group], np.int32)
+            fn = _eval_sample_jit(arch, compute_dtype, step_cache,
+                                  group[0][3], stack_k=K)
+            preds = fn(variables, stacked, rng, idx)
+            for j in range(n_real):
+                inflight.append((preds, group[j][1], j))
+        group.clear()
+        drain(max_inflight)
 
     enqueued = 0
     for i, batch in enumerate(data_loader):
         nbatch = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray) and np.issubdtype(v.dtype, np.number)}
         if arch.inference_type == "gt":
-            pred = nbatch["motion"]
+            inflight.append((nbatch["motion"], batch, None))
+            drain(max_inflight)
         else:
             if nbatch["motion"].shape[0] != bs:
                 pad = bs - nbatch["motion"].shape[0]
@@ -106,16 +163,15 @@ def single_device_test(arch, variables, data_loader, *, seed: int = 0,
             motion_shape = None
             if skip_motion_upload:
                 motion_shape = nbatch.pop("motion").shape
-            sample_jit = _eval_sample_jit(arch, compute_dtype, step_cache,
-                                          motion_shape)
-            pred = sample_jit(variables, nbatch, rng, np.int32(i))
-        inflight.append((pred, batch))
-        drain(max_inflight)
+            group.append((nbatch, batch, i, motion_shape))
+            if len(group) == K:
+                flush_group()
         enqueued += len(batch["motion_metas"])
         if logger and (i + 1) % 10 == 0:
             logger(f"{enqueued} samples dispatched in {time.time() - t0:.1f}s")
         if limit and enqueued >= limit:
             break
+    flush_group()
     drain(0)
     return results[:limit] if limit else results
 

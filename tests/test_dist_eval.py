@@ -369,3 +369,46 @@ class TestMotionUploadSkip:
         results = single_device_test(arch, {}, self._loader(6, 4))
         for i, r in enumerate(results):
             np.testing.assert_array_equal(r["pred_motion"], r["motion"])
+
+
+class TestMegaDispatch:
+    """dispatch_batches=K groups K loader batches into one lax.map dispatch;
+    predictions must be BIT-IDENTICAL to K=1 (same per-batch fold_in rng),
+    including the padded final short group and the limit interaction."""
+
+    def _loader(self, n, bs):
+        return DataLoader(EvalDataset(n), batch_size=bs, shuffle=False,
+                          drop_last=False, tokenize_text=False)
+
+    @pytest.mark.parametrize("n,bs,k", [(10, 4, 3), (12, 4, 3), (8, 4, 8)])
+    def test_bitexact_vs_single_dispatch(self, n, bs, k):
+        from motioncraft_tpu.apis.test import single_device_test
+        base = single_device_test(_NoiseStubArch(), {}, self._loader(n, bs),
+                                  seed=7)
+        mega = single_device_test(_NoiseStubArch(), {}, self._loader(n, bs),
+                                  seed=7, dispatch_batches=k)
+        assert len(base) == len(mega) == n
+        for a, b in zip(base, mega):
+            np.testing.assert_array_equal(a["pred_motion"], b["pred_motion"])
+
+    def test_motion_carrying_arch(self):
+        """An arch that DOES consume motion values (no skip attribute):
+        the stacked group must carry the real motion arrays."""
+        from motioncraft_tpu.apis.test import single_device_test
+        mega = single_device_test(_StubArch(), {}, self._loader(10, 4),
+                                  dispatch_batches=4)
+        assert len(mega) == 10
+        for i, r in enumerate(mega):
+            np.testing.assert_allclose(r["pred_motion"],
+                                       np.full((4, 3), 2 * i + 1))
+
+    def test_limit_with_mega(self):
+        from motioncraft_tpu.apis.test import single_device_test
+        results = single_device_test(_NoiseStubArch(), {},
+                                     self._loader(10, 4), seed=7,
+                                     dispatch_batches=3, limit=5)
+        base = single_device_test(_NoiseStubArch(), {}, self._loader(10, 4),
+                                  seed=7, limit=5)
+        assert len(results) == 5
+        for a, b in zip(base, results):
+            np.testing.assert_array_equal(a["pred_motion"], b["pred_motion"])

@@ -49,10 +49,19 @@ METRIC_KEYS = [
 
 def run_mode(name, extra, args, workdir):
     dump = os.path.join(workdir, "samples.npz")
+    metrics_path = os.path.join(workdir, "metrics.json")
+    if os.path.isfile(metrics_path) and os.path.isfile(dump):
+        # resume: a killed harness re-run skips completed modes (each mode
+        # is 10-40 min of TPU time; the per-mode workdirs are the record)
+        print(f"[{name}] already complete, reusing {workdir}", flush=True)
+        with open(metrics_path) as f:
+            return json.load(f), dump, 0.0
     cmd = [sys.executable, os.path.join(REPO, "tools", "test.py"),
            args.config, workdir,
            "--checkpoint", args.checkpoint, "--seed", str(args.seed),
            "--bf16", "--dump-samples", dump] + extra
+    if args.dispatch_batches > 1:
+        cmd += ["--dispatch-batches", str(args.dispatch_batches)]
     if args.batch_size:
         cmd += ["--batch-size", str(args.batch_size)]
     if args.limit:
@@ -99,6 +108,9 @@ def main():
     p.add_argument("--workroot", default="outputs/drift")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--dispatch-batches", type=int, default=8,
+                   help="K loader batches per device dispatch (bit-identical "
+                        "predictions; amortizes remote-tunnel overhead)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--replications", type=int, default=None,
                    help="override eval_cfg.replication_times (default: "

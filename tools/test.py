@@ -77,6 +77,12 @@ def parse_args():
     p.add_argument("--overlap_len", type=int, default=4)
     p.add_argument("--jump_n_sample", type=int, default=2)
     p.add_argument("--jump_length", type=int, default=3)
+    p.add_argument("--dispatch-batches", type=int, default=1, metavar="K",
+                   help="group K loader batches into one device dispatch "
+                        "(lax.map inside the jit) — bit-identical "
+                        "predictions, amortizes per-dispatch runtime "
+                        "overhead (a ~2.6x protocol-eval win through a "
+                        "remote-runtime TPU tunnel)")
     p.add_argument("--dump-samples", default=None, metavar="PATH",
                    help="save the generated motions (loader order, pre-"
                         "evaluation) to PATH.npz — same seed across runs "
@@ -174,6 +180,7 @@ def main():
         results = multi_host_test(arch, variables, loader, seed=args.seed,
                                   limit=args.limit, compute_dtype=cdt,
                                   step_cache=step_cache,
+                                  dispatch_batches=args.dispatch_batches,
                                   logger=lambda m: print("  " + m, flush=True))
         if jax.process_index() != 0:
             return
@@ -181,6 +188,7 @@ def main():
         results = single_device_test(arch, variables, loader, seed=args.seed,
                                      limit=args.limit, compute_dtype=cdt,
                                      step_cache=step_cache,
+                                     dispatch_batches=args.dispatch_batches,
                                      logger=lambda m: print("  " + m, flush=True))
     print(f"sampled {len(results)} results in {time.time() - t0:.1f}s")
     if args.dump_samples:
