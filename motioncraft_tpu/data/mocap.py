@@ -24,6 +24,10 @@ helper); the rest of pymo is vendored-but-unreached from mogen:
   Numpyfier                        -> (frames are already [T, C] numpy)
   StandardScaler (sklearn)         -> standard_scale
   writers.BVHWriter                -> write_bvh
+  features.get_foot_contact_idxs   -> foot_contact_idxs (+ peak_indexes)
+  features.create_foot_contact_signal -> foot_contact_signal
+  mocapplayer (three.js web player)-> utils/web_player.py (self-contained
+                                      canvas player, no vendored JS libs)
 """
 
 from __future__ import annotations
@@ -261,3 +265,72 @@ def standard_scale(frames: np.ndarray, mean: Optional[np.ndarray] = None,
         mean = frames.reshape(-1, frames.shape[-1]).mean(axis=0)
         std = frames.reshape(-1, frames.shape[-1]).std(axis=0) + 1e-8
     return (frames - mean) / std, mean, std
+
+
+def peak_indexes(y: np.ndarray, thres: float = 0.3,
+                 min_dist: int = 1) -> np.ndarray:
+    """1-D peak detection with peakutils.indexes semantics (the dependency
+    pymo/features.py:13-14 pulls in): `thres` is normalized to the signal's
+    [min, max] span; peaks closer than `min_dist` are suppressed keeping the
+    highest first.  Pure numpy — no peakutils dependency."""
+    y = np.asarray(y, np.float64)
+    if y.size < 3:
+        return np.array([], np.int64)
+    level = thres * (y.max() - y.min()) + y.min()
+    dy = np.diff(y)
+    # resolve zero-slope plateaus by propagating the neighboring slope, so a
+    # flat-topped peak is detected once (peakutils does the same fill)
+    zeros = np.where(dy == 0)[0]
+    if len(zeros) == len(dy):
+        return np.array([], np.int64)
+    if len(zeros):
+        filled = dy.copy()
+        # forward pass: a zero takes the previous non-zero slope
+        for i in zeros:
+            filled[i] = filled[i - 1] if i > 0 else 0.0
+        # any leading zeros take the next non-zero slope
+        for i in zeros[::-1]:
+            if filled[i] == 0.0:
+                filled[i] = filled[i + 1] if i + 1 < len(filled) else 0.0
+        dy = filled
+    peaks = np.where((np.hstack([dy, 0.0]) < 0.0)
+                     & (np.hstack([0.0, dy]) > 0.0)
+                     & (y > level))[0]
+    if peaks.size and min_dist > 1:
+        keep = np.zeros(y.size, bool)
+        keep[peaks] = True
+        for p in peaks[np.argsort(y[peaks])][::-1]:  # highest first
+            if keep[p]:
+                lo = max(0, p - min_dist)
+                keep[lo:p + min_dist + 1] = False
+                keep[p] = True
+        peaks = np.where(keep)[0]
+    return peaks.astype(np.int64)
+
+
+def foot_contact_idxs(signal: np.ndarray, t: float = 0.02,
+                      min_dist: int = 120) -> Tuple[np.ndarray, np.ndarray]:
+    """(up_idxs, down_idxs) peaks of a foot-height/velocity track — pymo
+    features.get_foot_contact_idxs (features.py:12-16), thresholds included
+    (up: t/max(signal), down: t/min(signal) on the negated track)."""
+    signal = np.asarray(signal, np.float64)
+    up = peak_indexes(signal, thres=t / signal.max(), min_dist=min_dist)
+    down = peak_indexes(-signal, thres=t / signal.min(), min_dist=min_dist)
+    return up, down
+
+
+def foot_contact_signal(signal: np.ndarray, t: float = 0.02,
+                        min_dist: int = 120, start: int = 1) -> np.ndarray:
+    """Binary per-frame contact track: 0 from each down-peak, 1 from each
+    up-peak, `start` before the first event — pymo
+    features.create_foot_contact_signal (features.py:19-35)."""
+    up, down = foot_contact_idxs(signal, t=t, min_dist=min_dist)
+    up_set, down_set = set(up.tolist()), set(down.tolist())
+    out, c = np.empty(len(signal), np.int64), start
+    for f in range(len(signal)):
+        if f in down_set:
+            c = 0
+        elif f in up_set:
+            c = 1
+        out[f] = c
+    return out

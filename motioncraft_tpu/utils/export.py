@@ -99,3 +99,22 @@ def gt_export_npz(motion322: np.ndarray, path: str, betas=None,
     poses[:, 75:165] = motion322[:, 66:156]
     _savez(path, poses, motion322[:, 209:309], motion322[:, 309:312],
            betas if betas is not None else np.zeros(300), fps)
+
+
+def fk_joints_322(motion322: np.ndarray) -> np.ndarray:
+    """FK joint trajectories [T, 55, 3] for a 322-d clip — the skeleton the
+    stick-figure video and the web player (utils/web_player.py) draw.  Uses
+    the SMPL-X rest joints when the asset is present, the approximate
+    fallback skeleton otherwise (ops/fk.SMPLXSkeleton)."""
+    import jax.numpy as jnp
+
+    from ..ops.fk import SMPLXSkeleton
+
+    T = motion322.shape[0]
+    pose165 = np.zeros((T, 165), np.float32)
+    pose165[:, :66] = motion322[:, :66]
+    pose165[:, 66:69] = motion322[:, 156:159]
+    pose165[:, 75:165] = motion322[:, 66:156]
+    fk = SMPLXSkeleton()
+    return np.asarray(fk.forward(jnp.asarray(pose165),
+                                 jnp.asarray(motion322[:, 309:312])))

@@ -127,3 +127,41 @@ def test_standard_scale_fit_apply():
     np.testing.assert_allclose(y.std(0), 1, atol=1e-4)
     y2, _, _ = standard_scale(x[:10], m, s)
     np.testing.assert_allclose(y2, y[:10], atol=1e-12)
+
+
+def test_peak_indexes_finds_separated_maxima():
+    from motioncraft_tpu.data.mocap import peak_indexes
+    t = np.arange(400)
+    y = np.sin(2 * np.pi * t / 100.0)  # peaks at ~25, ~125, ~225, ~325
+    idx = peak_indexes(y, thres=0.3, min_dist=50)
+    assert len(idx) == 4
+    assert np.allclose(idx % 100, 25, atol=1)
+
+
+def test_peak_indexes_min_dist_keeps_highest():
+    from motioncraft_tpu.data.mocap import peak_indexes
+    y = np.zeros(50)
+    y[10], y[14], y[40] = 1.0, 2.0, 1.5  # 10 and 14 closer than min_dist
+    idx = peak_indexes(y, thres=0.1, min_dist=5)
+    assert list(idx) == [14, 40]
+
+
+def test_peak_indexes_flat_signal_empty():
+    from motioncraft_tpu.data.mocap import peak_indexes
+    assert len(peak_indexes(np.ones(20))) == 0
+
+
+def test_foot_contact_signal_alternates():
+    """features.create_foot_contact_signal semantics (pymo features.py:19-35):
+    0 from a down-peak (foot strikes), 1 from an up-peak (foot lifts)."""
+    from motioncraft_tpu.data.mocap import foot_contact_idxs, foot_contact_signal
+    t = np.arange(600)
+    y = np.sin(2 * np.pi * t / 240.0)  # up-peaks at ~60, 300; down at ~180, 420
+    up, down = foot_contact_idxs(y, t=0.02, min_dist=120)
+    assert len(up) >= 2 and len(down) >= 2
+    sig = foot_contact_signal(y, t=0.02, min_dist=120, start=1)
+    assert set(np.unique(sig)) <= {0, 1}
+    assert sig[0] == 1                       # `start` before any event
+    assert sig[int(down[0]) + 1] == 0        # strike holds until next lift
+    lifts_after = up[up > down[0]]
+    assert sig[int(lifts_after[0]) + 1] == 1

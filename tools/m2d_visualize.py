@@ -40,6 +40,9 @@ def parse_args():
     p.add_argument("--render", action="store_true",
                    help="also render a video (mesh if assets exist, FK "
                         "stick-figure otherwise)")
+    p.add_argument("--web", action="store_true",
+                   help="standalone HTML skeleton player per clip "
+                        "(utils/web_player.py)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -126,6 +129,13 @@ def main():
             from motioncraft_tpu.utils.render import render_one_sequence
             render_one_sequence(out_path, out_path.replace(".npz", ".mp4"),
                                 fps=args.fps)
+        if args.web:
+            from motioncraft_tpu.ops.fk import SMPLX_PARENTS
+            from motioncraft_tpu.utils.export import fk_joints_322
+            from motioncraft_tpu.utils.web_player import export_web_player
+            export_web_player(fk_joints_322(pred), SMPLX_PARENTS,
+                              out_path.replace(".npz", ".html"),
+                              fps=args.fps, title=track)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--render", action="store_true",
                    help="also render a video per clip (mesh if assets exist, "
                         "FK stick-figure otherwise)")
+    p.add_argument("--web", action="store_true",
+                   help="standalone HTML skeleton player per clip "
+                        "(utils/web_player.py)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -138,6 +141,13 @@ def main():
             render_one_sequence(res_path,
                                 os.path.join(args.out, f"res_{rec['name']}.mp4"),
                                 audio_path=wav_path, fps=fps)
+        if args.web:
+            from motioncraft_tpu.ops.fk import SMPLX_PARENTS
+            from motioncraft_tpu.utils.export import fk_joints_322
+            from motioncraft_tpu.utils.web_player import export_web_player
+            export_web_player(fk_joints_322(pred322), SMPLX_PARENTS,
+                              os.path.join(args.out, f"res_{rec['name']}.html"),
+                              fps=fps, title=rec["name"])
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--smooth", type=float, default=0.0,
                    help="temporal gaussian smoothing sigma (frames)")
     p.add_argument("--plot", action="store_true", help="matplotlib FK skeleton video")
+    p.add_argument("--web", action="store_true",
+                   help="standalone HTML skeleton player per sample "
+                        "(utils/web_player.py — the pymo mocapplayer "
+                        "equivalent, no server/JS deps)")
     p.add_argument("--cfg-options", nargs="*", default=None)
     return p.parse_args()
 
@@ -110,25 +114,27 @@ def main():
         print(f"[{i}] {text!r} -> {path} ({T} frames)")
         if args.plot and input_feats == 322:
             plot_skeleton(clip, os.path.join(args.out, f"sample_{i}.mp4"), args.fps)
+        if args.web and input_feats == 322:
+            from motioncraft_tpu.ops.fk import SMPLX_PARENTS
+            from motioncraft_tpu.utils.export import fk_joints_322
+            from motioncraft_tpu.utils.web_player import export_web_player
+            html = export_web_player(fk_joints_322(clip), SMPLX_PARENTS,
+                                     os.path.join(args.out, f"sample_{i}.html"),
+                                     fps=args.fps, title=text)
+            print(f"  web player -> {html}")
 
 
 def plot_skeleton(motion322: np.ndarray, path: str, fps: int):
     """Matplotlib 3D stick-figure video of FK joints."""
-    import jax.numpy as jnp
-    from motioncraft_tpu.ops.fk import SMPLX_PARENTS, SMPLXSkeleton
+    from motioncraft_tpu.ops.fk import SMPLX_PARENTS
+    from motioncraft_tpu.utils.export import fk_joints_322
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from matplotlib import animation
 
-    fk = SMPLXSkeleton()
     T = motion322.shape[0]
-    pose165 = np.zeros((T, 165), np.float32)
-    pose165[:, :66] = motion322[:, :66]
-    pose165[:, 66:69] = motion322[:, 156:159]
-    pose165[:, 75:165] = motion322[:, 66:156]
-    joints = np.asarray(fk.forward(jnp.asarray(pose165),
-                                   jnp.asarray(motion322[:, 309:312])))
+    joints = fk_joints_322(motion322)
 
     fig = plt.figure(figsize=(5, 5))
     ax = fig.add_subplot(projection="3d")
