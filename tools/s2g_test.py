@@ -79,6 +79,8 @@ def main():
     import jax
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from motioncraft_tpu.utils.env import enable_compilation_cache
+    enable_compilation_cache()  # remote-AOT tunnel compiles cost minutes; cache them
     import jax.numpy as jnp
     import motioncraft_tpu.models  # noqa: F401
     import motioncraft_tpu.data  # noqa: F401  (register DATASETS/PIPELINES)
